@@ -1,0 +1,184 @@
+"""Vectorized 64-bit hashing kernels (pure numpy, no per-row Python).
+
+Structure mirrors the reference (one 64-bit hash → lo32/hi32 split →
+Kirsch–Mitzenmacher index expansion → power-of-two mask):
+  - /root/reference/filter/hash.go:5-14   (DoubleHash)
+  - /root/reference/filter/bloom/filter.go:34-47 (xxh3 → h1/h2 → k indices)
+
+The reference hashes with xxh3/metro (no Python bindings available in this
+environment), so the mixer here is splitmix64 (Steele/Lea/Vigna, public
+domain) — the *structure* and all behavioral invariants (determinism, k-index
+expansion, pow-2 masking) are identical; bit-parity with Go xxh3 is not a
+north-rule requirement (invariants are behavioral, see SURVEY.md §7).
+
+Unlike the reference's Bloom filter — whose stored Seed is never actually
+used in hashing (quirk Q1, /root/reference/filter/bloom/filter.go:30,39) —
+hashing here is explicitly seeded; with the default seed everything is
+globally deterministic, matching the reference's observable behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+# FNV-1a 64-bit
+_FNV_OFFSET = U64(0xCBF29CE484222325)
+_FNV_PRIME = U64(0x100000001B3)
+
+DEFAULT_SEED = 0x5EED_B10F_11E2_0001
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping arithmetic)."""
+    z = (np.asarray(x, dtype=U64) + _SM_GAMMA).astype(U64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> U64(30))) * _SM_M1
+        z = (z ^ (z >> U64(27))) * _SM_M2
+        z = z ^ (z >> U64(31))
+    return z
+
+
+def mix_seed(seed: int) -> np.uint64:
+    """Derive a well-mixed 64-bit seed word from an arbitrary int."""
+    return splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0]
+
+
+def hash64_i32(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash a vector of int32 tokens to uint64.
+
+    A token is treated as its 4-byte two's-complement pattern (the reference
+    takes opaque ``[]byte`` keys — /root/reference/filter/bloom/filter.go:38;
+    an int32 key is its little-endian bytes), i.e. -1 hashes as 0xFFFFFFFF.
+    """
+    x = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(U64)
+    return splitmix64(x ^ mix_seed(seed))
+
+
+def hash64_i64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    x = np.ascontiguousarray(values, dtype=np.int64).view(U64)
+    return splitmix64(x ^ mix_seed(seed))
+
+
+def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash variable-length byte-string keys (e.g. doc_id) to uint64.
+
+    Vectorized FNV-1a: keys are packed into a padded (N, maxlen) uint8 matrix
+    (numpy 'S' dtype) and folded column-by-column — O(maxlen) vectorized
+    passes, zero per-row Python.  Length is folded into the final mix so a
+    key is distinguished from itself + trailing NULs.
+
+    Limitation: keys containing embedded NUL bytes are truncated at the NUL
+    (numpy 'S' semantics).  Fine for doc_id/text keys; binary-blob keys
+    should be pre-hashed.
+    """
+    arr = np.asarray(values, dtype=bytes)
+    n = arr.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    width = arr.dtype.itemsize
+    mat = arr.view(np.uint8).reshape(n, width)
+    lengths = (mat != 0).cumsum(axis=1)[:, -1] if width else np.zeros(n, np.intp)
+    # 'S' pads with NULs; length = position of last nonzero byte + 1 is wrong
+    # for keys with interior spaces of \0 — but 'S' dtype already truncates at
+    # first NUL, so count of nonzero bytes == length here.
+    h = np.full(n, _FNV_OFFSET ^ mix_seed(seed), dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            active = lengths > j
+            if not active.any():
+                break
+            hj = h[active]
+            hj = (hj ^ mat[active, j].astype(U64)) * _FNV_PRIME
+            h[active] = hj
+    return splitmix64(h ^ lengths.astype(U64))
+
+
+def hash64_str(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash unicode strings (UTF-8 encoded) to uint64."""
+    arr = np.asarray(values)
+    if arr.dtype.kind == "U":
+        enc = np.char.encode(arr, "utf-8")
+    elif arr.dtype.kind == "S":
+        enc = arr
+    else:  # object array of python strs (pandas)
+        enc = np.char.encode(arr.astype("U"), "utf-8")
+    return hash64_bytes(enc, seed)
+
+
+def split_h1_h2(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split a 64-bit hash into (lo32, hi32) — reference filter/hash.go:7-8."""
+    h1 = h & U64(0xFFFFFFFF)
+    h2 = h >> U64(32)
+    return h1, h2
+
+
+def km_indices(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: (N,) uint64 hash → (N, k) indices.
+
+    index_i = (h1 + i*h2) & (m-1), m a power of two — exactly the reference's
+    expansion (/root/reference/filter/hash.go:9-13, bloom/filter.go:40-46),
+    as one broadcast matrix op per Arrow batch.
+    """
+    h1, h2 = split_h1_h2(h)
+    i = np.arange(k, dtype=U64)
+    with np.errstate(over="ignore"):
+        idx = (h1[:, None] + i[None, :] * h2[:, None]) & U64(m - 1)
+    return idx
+
+
+def clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, no float tricks)."""
+    w = np.asarray(w, dtype=U64)
+    n = np.zeros(w.shape, dtype=np.uint8)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (U64(1) << U64(s))
+        n[big] += np.uint8(s)
+        v[big] >>= U64(s)
+    out = np.where(w == 0, np.uint8(64), np.uint8(63) - n)
+    return out.astype(np.uint8)
+
+
+def next_power_of_two(n: int) -> int:
+    """Identical semantics to the reference (/root/reference/filter/utils.go:23-31):
+    0 → 0, exact powers map to themselves, else round up."""
+    if n <= 0:
+        return 0
+    return 1 << (int(n) - 1).bit_length()
+
+
+def or_reduce_at(bits: np.ndarray, words: np.ndarray, vals: np.ndarray) -> None:
+    """bits[words] |= vals with duplicate-index correctness, vectorized.
+
+    Equivalent to np.bitwise_or.at but ~5-10× faster: sort by word index,
+    segment-OR with reduceat, single fancy-index write.
+    """
+    if words.size == 0:
+        return
+    order = np.argsort(words, kind="stable")
+    w = words[order]
+    v = vals[order]
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    acc = np.bitwise_or.reduceat(v, starts)
+    bits[w[starts]] |= acc
+
+
+def max_reduce_at(regs: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+    """regs[idx] = max(regs[idx], vals) with duplicate-index correctness."""
+    if idx.size == 0:
+        return
+    order = np.argsort(idx, kind="stable")
+    i = idx[order]
+    v = vals[order]
+    starts = np.flatnonzero(np.r_[True, i[1:] != i[:-1]])
+    acc = np.maximum.reduceat(v, starts)
+    tgt = i[starts]  # unique after segmenting
+    regs[tgt] = np.maximum(regs[tgt], acc)

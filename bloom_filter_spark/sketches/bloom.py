@@ -1,0 +1,145 @@
+"""Classic Bloom filter — the reference's core artifact, vectorized.
+
+Reproduces the reference's sizing math, index expansion, bit layout and byte
+format exactly (/root/reference/filter/bloom/filter.go):
+
+  m_pre  = ceil(-n·ln p / (ln 2)²)          filter.go:23
+  k      = round((m_pre / n) · ln 2)        filter.go:24  (from PRE-pow2 m —
+           quirk Q3: measured FPR lands below configured p)
+  m      = next_power_of_two(m_pre)         filter.go:25, utils.go:23-31
+  words  = (m >> 6) + 1                     filter.go:29  (quirk Q4 spare word)
+  idx_i  = (h1 + i·h2) & (m-1)              filter.go:40-46, hash.go:5-14
+  serde  = LE u32 M | u32 K | u64 Seed | words×u64   filter.go:63-92
+
+Deviation (documented, SURVEY.md Q1): the reference stores a Seed it never
+feeds to xxh3 (filter.go:30,39) — hashing here actually uses the seed, with a
+fixed default, so independent sketches are possible while default behavior
+stays deterministic.
+
+Distributed semantics: two filters with equal (m, k, seed) agree bit-for-bit
+on shared keys, so union = bitwise OR — the associative merge the operator
+layer's tree reduction uses.  Invariants: zero false negatives; measured
+FPR ≤ configured p (reference rounds m UP, so real FPR < p).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import hashing
+from ..core.serde import Reader, pack_u32, pack_u64
+from .base import register
+
+_LN2 = math.log(2.0)
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    n: int
+    p: float
+    seed: int = hashing.DEFAULT_SEED
+    m_pre: int = field(init=False)
+    k: int = field(init=False)
+    m: int = field(init=False)
+    n_words: int = field(init=False)
+
+    def __post_init__(self):
+        if self.n <= 0 or not (0.0 < self.p < 1.0):
+            raise ValueError(f"invalid Bloom params n={self.n} p={self.p}")
+        m_pre = math.ceil(-self.n * math.log(self.p) / (_LN2 * _LN2))
+        k = max(1, round((m_pre / self.n) * _LN2))
+        m = hashing.next_power_of_two(m_pre)
+        object.__setattr__(self, "m_pre", m_pre)
+        object.__setattr__(self, "k", k)
+        object.__setattr__(self, "m", m)
+        object.__setattr__(self, "n_words", (m >> 6) + 1)
+
+    @property
+    def bits_per_item(self) -> float:
+        return self.m / self.n
+
+    def analytic_fpr(self) -> float:
+        """(1 - e^{-kn/m})^k with the post-round-up m."""
+        return (1.0 - math.exp(-self.k * self.n / self.m)) ** self.k
+
+
+@register
+class BloomSketch:
+    kind = "bloom"
+
+    def __init__(self, params: BloomParams):
+        self.params = params
+
+    # -- state ------------------------------------------------------------
+    def empty(self) -> np.ndarray:
+        return np.zeros(self.params.n_words, dtype=np.uint64)
+
+    # -- build ------------------------------------------------------------
+    def _update_hashes(self, state: np.ndarray, h: np.ndarray) -> None:
+        p = self.params
+        idx = hashing.km_indices(h, p.m, p.k).ravel()
+        words = (idx >> np.uint64(6)).astype(np.int64)
+        vals = np.uint64(1) << (idx & np.uint64(63))
+        hashing.or_reduce_at(state, words, vals)
+
+    def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
+        self._update_hashes(state, hashing.hash64_i32(values, self.params.seed))
+
+    def update_str(self, state: np.ndarray, values) -> None:
+        self._update_hashes(state, hashing.hash64_str(values, self.params.seed))
+
+    # -- probe ------------------------------------------------------------
+    def _contains_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
+        p = self.params
+        idx = hashing.km_indices(h, p.m, p.k)
+        words = state[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+    def contains_i32(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        return self._contains_hashes(state, hashing.hash64_i32(values, self.params.seed))
+
+    def contains_str(self, state: np.ndarray, values) -> np.ndarray:
+        return self._contains_hashes(state, hashing.hash64_str(values, self.params.seed))
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bitwise_or(a, b)
+
+    # -- serde (reference byte layout, bloom/filter.go:63-92) --------------
+    def serialize(self, state: np.ndarray) -> bytes:
+        p = self.params
+        if p.m >= 1 << 32:
+            # the reference format stores M as u32 (bloom/filter.go:67);
+            # a >512 MiB single filter should be sharded upstream anyway.
+            raise ValueError("m exceeds the reference's u32 header field")
+        header = pack_u32(p.m) + pack_u32(p.k) + pack_u64(p.seed)
+        return header + state.astype("<u8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, n: int | None = None, p: float | None = None):
+        """Rebuild (sketch, state) from the reference-layout blob.
+
+        m and k are authoritative from the header; (n, p) are only needed to
+        reconstruct a params object for documentation — sizing is overridden
+        to the serialized values exactly as the reference's Deserialize does
+        (/root/reference/filter/bloom/filter.go:77-92).
+        """
+        r = Reader(blob)
+        m = r.u32()
+        k = r.u32()
+        seed = r.u64()
+        n_words = (m >> 6) + 1
+        state = r.array("<u8", n_words)
+        params = object.__new__(BloomParams)
+        object.__setattr__(params, "n", n or 0)
+        object.__setattr__(params, "p", p or 0.0)
+        object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "m_pre", m)
+        object.__setattr__(params, "k", k)
+        object.__setattr__(params, "m", m)
+        object.__setattr__(params, "n_words", n_words)
+        return cls(params), state

@@ -1,0 +1,104 @@
+"""Count-min sketch — frequency point queries (north-rule extension,
+SURVEY.md §2.7).
+
+Cormode & Muthukrishnan 2005: d×w int64 counter matrix,
+  w = ceil(e / eps), d = ceil(ln(1/delta))
+  update: counts[j, h_j(x) % w] += 1 for each of the d rows
+  point estimate: min_j counts[j, h_j(x)]  — never underestimates;
+  overestimate ≤ eps·N with probability ≥ 1-delta.
+  merge = element-wise + (associative, commutative).
+
+Row hashes are the same splitmix64 mixer with per-row derived seeds.
+Updates are vectorized with np.bincount per row (one pass per row, no
+per-item Python).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import hashing
+from ..core.serde import Reader, pack_u32, pack_u64, pack_f64
+from .base import register
+
+
+@dataclass(frozen=True)
+class CMSParams:
+    eps: float = 0.0001
+    delta: float = 0.001
+    seed: int = hashing.DEFAULT_SEED
+    w: int = field(init=False)
+    d: int = field(init=False)
+
+    def __post_init__(self):
+        if not (0 < self.eps < 1) or not (0 < self.delta < 1):
+            raise ValueError("invalid CMS params")
+        object.__setattr__(self, "w", int(math.ceil(math.e / self.eps)))
+        object.__setattr__(self, "d", int(math.ceil(math.log(1.0 / self.delta))))
+
+
+@register
+class CMSSketch:
+    kind = "cms"
+
+    def __init__(self, params: CMSParams):
+        self.params = params
+        self._row_seeds = [params.seed ^ hashing.mix_seed(1000 + j).item() for j in range(params.d)]
+
+    def empty(self) -> np.ndarray:
+        return np.zeros((self.params.d, self.params.w), dtype=np.int64)
+
+    def _row_idx(self, values, j: int, is_str: bool) -> np.ndarray:
+        h = (hashing.hash64_str(values, self._row_seeds[j]) if is_str
+             else hashing.hash64_i32(np.asarray(values, np.int32), self._row_seeds[j]))
+        return (h % np.uint64(self.params.w)).astype(np.int64)
+
+    def _update(self, state, values, is_str: bool, weights=None) -> None:
+        for j in range(self.params.d):
+            idx = self._row_idx(values, j, is_str)
+            state[j] += np.bincount(idx, weights=weights, minlength=self.params.w).astype(np.int64)
+
+    def update_i32(self, state, values, weights=None) -> None:
+        self._update(state, values, False, weights)
+
+    def update_str(self, state, values, weights=None) -> None:
+        self._update(state, values, True, weights)
+
+    def point_i32(self, state, values) -> np.ndarray:
+        ests = np.stack([state[j, self._row_idx(values, j, False)]
+                         for j in range(self.params.d)])
+        return ests.min(axis=0)
+
+    def point_str(self, state, values) -> np.ndarray:
+        ests = np.stack([state[j, self._row_idx(values, j, True)]
+                         for j in range(self.params.d)])
+        return ests.min(axis=0)
+
+    def merge(self, a, b) -> np.ndarray:
+        return a + b
+
+    def serialize(self, state: np.ndarray) -> bytes:
+        p = self.params
+        header = (pack_u32(p.d) + pack_u32(p.w) + pack_u64(p.seed)
+                  + pack_f64(p.eps) + pack_f64(p.delta))
+        return header + state.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes):
+        r = Reader(blob)
+        d = r.u32()
+        w = r.u32()
+        seed = r.u64()
+        eps = r.f64()
+        delta = r.f64()
+        state = r.array("<i8", d * w).reshape(d, w)
+        params = object.__new__(CMSParams)
+        object.__setattr__(params, "eps", eps)
+        object.__setattr__(params, "delta", delta)
+        object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "w", w)
+        object.__setattr__(params, "d", d)
+        return cls(params), state

@@ -1,0 +1,99 @@
+"""HyperLogLog — distinct-count sketch (north-rule extension, not in the
+reference; SURVEY.md §2.7).
+
+Flajolet–Fuss–Gandouet–Meunier 2007, with the 64-bit-hash variant used by
+modern implementations (no large-range correction needed) and the standard
+small-range linear-counting correction.  State: m = 2^b uint8 registers.
+
+  register index = top b bits of the 64-bit hash
+  rank           = leading zeros of the remaining 64-b bits + 1
+  merge          = element-wise max (associative, commutative, idempotent)
+  estimate       = alpha_m · m² / Σ 2^-reg   (± 1.04/√m std error)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import hashing
+from ..core.serde import Reader, pack_u32, pack_u64
+from .base import register
+
+
+@dataclass(frozen=True)
+class HLLParams:
+    b: int = 14  # precision: m = 2^b registers
+    seed: int = hashing.DEFAULT_SEED
+    m: int = field(init=False)
+
+    def __post_init__(self):
+        if not (4 <= self.b <= 18):
+            raise ValueError("HLL precision b must be in [4, 18]")
+        object.__setattr__(self, "m", 1 << self.b)
+
+    @property
+    def std_error(self) -> float:
+        return 1.04 / (self.m ** 0.5)
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@register
+class HLLSketch:
+    kind = "hll"
+
+    def __init__(self, params: HLLParams):
+        self.params = params
+
+    def empty(self) -> np.ndarray:
+        return np.zeros(self.params.m, dtype=np.uint8)
+
+    def _update_hashes(self, state: np.ndarray, h: np.ndarray) -> None:
+        b = self.params.b
+        idx = (h >> np.uint64(64 - b)).astype(np.int64)
+        rest = (h << np.uint64(b)).astype(np.uint64)
+        rank = np.minimum(hashing.clz64(rest), 64 - b).astype(np.uint8) + np.uint8(1)
+        hashing.max_reduce_at(state, idx, rank)
+
+    def update_i32(self, state, values) -> None:
+        self._update_hashes(state, hashing.hash64_i32(values, self.params.seed))
+
+    def update_i64(self, state, values) -> None:
+        self._update_hashes(state, hashing.hash64_i64(values, self.params.seed))
+
+    def update_str(self, state, values) -> None:
+        self._update_hashes(state, hashing.hash64_str(values, self.params.seed))
+
+    def merge(self, a, b) -> np.ndarray:
+        return np.maximum(a, b)
+
+    def estimate(self, state: np.ndarray) -> float:
+        m = float(self.params.m)
+        raw = _alpha(self.params.m) * m * m / np.power(2.0, -state.astype(np.float64)).sum()
+        if raw <= 2.5 * m:
+            zeros = int((state == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(raw)
+
+    def serialize(self, state: np.ndarray) -> bytes:
+        p = self.params
+        return pack_u32(p.b) + pack_u64(p.seed) + state.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes):
+        r = Reader(blob)
+        b = r.u32()
+        seed = r.u64()
+        state = r.array(np.uint8, 1 << b)
+        return cls(HLLParams(b=b, seed=seed)), state
