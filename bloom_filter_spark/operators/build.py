@@ -1,0 +1,186 @@
+"""Distributed sketch build — the partial phase of the mergeable UDAF.
+
+Design (SURVEY.md §3.1): the build is expressed so that the *data* never
+shuffles — ``mapInPandas`` folds every input partition into one sketch state
+locally (Arrow batches → numpy, zero per-row Python), emitting a single
+(partition_id, n_items, state) row per partition.  Only those P small state
+rows move through the merge tree (operators/merge.py).  At 100 TB the scan
+stays embarrassingly parallel and the shuffle volume is P × |state|,
+independent of input size.
+
+Grouped builds ("one sketch per source") are the skew-prone case — the
+fixture's zipfian source weights put 45% of rows in one group.  The north
+rule's salted repartition is implemented as a two-phase aggregation:
+``groupBy(source, salt)`` partials (caps any single task at group/n_salts)
+→ ``groupBy(source)`` merge of the tiny states.  Cuckoo filters, which have
+no sound union-merge (SURVEY.md §2.3), use the single-writer grouped path
+with no salting.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches.base import sketch_for_kind
+from .merge import PARTIAL_SCHEMA, merge_partials_tree
+
+
+def _flatten_arrays(col: pd.Series) -> np.ndarray:
+    """Series of array<int32> cells → one flat int32 vector (no row loop)."""
+    arrs = [a for a in col.to_numpy() if a is not None and len(a)]
+    if not arrs:
+        return np.empty(0, np.int32)
+    return np.concatenate(arrs).astype(np.int32, copy=False)
+
+
+def _update(sketch, state, values, value_kind: str) -> int:
+    if len(values) == 0:
+        return 0
+    if value_kind == "i32":
+        sketch.update_i32(state, np.asarray(values, np.int32))
+    elif value_kind == "i64":
+        if hasattr(sketch, "update_i64"):
+            sketch.update_i64(state, np.asarray(values, np.int64))
+        else:
+            sketch.update(state, np.asarray(values, np.float64))
+    elif value_kind == "f64":
+        sketch.update(state, np.asarray(values, np.float64))
+    elif value_kind == "str":
+        sketch.update_str(state, [v for v in values if v is not None])
+    else:
+        raise ValueError(f"unknown value_kind {value_kind}")
+    return len(values)
+
+
+def build_partials(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
+                   repartition: int | None = None) -> DataFrame:
+    """→ DataFrame(partition_id long, n_items long, state binary), one row per
+    partition.  ``value_kind``: i32_array | i32 | i64 | f64 | str."""
+    sel = df.select(F.col(col).alias("v"))  # explicit column pruning
+    if repartition:
+        sel = sel.repartition(repartition)
+
+    array_input = value_kind == "i32_array"
+    elem_kind = "i32" if array_input else value_kind
+
+    def partial_fn(it):
+        state = sketch.empty()
+        n = 0
+        for pdf in it:
+            vals = _flatten_arrays(pdf["v"]) if array_input else pdf["v"].dropna().to_numpy()
+            n += _update(sketch, state, vals, elem_kind)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pd.DataFrame({"partition_id": [pid], "n_items": [n],
+                            "state": [sketch.serialize(state)]})
+
+    return sel.mapInPandas(partial_fn, PARTIAL_SCHEMA)
+
+
+def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
+                 repartition: int | None = None, fanin: int = 64,
+                 checkpoint=None, sketch_id: str | None = None) -> tuple[bytes, int]:
+    """Full build: partials → merge tree → (final state blob, n_items).
+
+    If ``checkpoint`` (a SketchCheckpoint) and ``sketch_id`` are given, the
+    partial states and the final state are persisted with lineage before
+    returning — making the build resumable (operators/checkpoint.py).
+    """
+    partials = build_partials(df, sketch, col, value_kind, repartition)
+    if checkpoint is not None and sketch_id is not None:
+        partials = checkpoint.write_partials(sketch_id, sketch, partials,
+                                             input_desc=_describe_input(df))
+    final = merge_partials_tree(partials, sketch, fanin=fanin)
+    row = final.collect()[0]
+    blob, n_items = bytes(row.state), int(row.n_items)
+    if checkpoint is not None and sketch_id is not None:
+        checkpoint.write_final(sketch_id, sketch, blob, n_items)
+    return blob, n_items
+
+
+def _describe_input(df: DataFrame) -> str:
+    try:
+        files = df.inputFiles()
+        return ";".join(sorted(files)[:16]) + (f";+{len(files)-16}" if len(files) > 16 else "")
+    except Exception:
+        return "<derived>"
+
+
+GROUPED_SCHEMA = "group string, n_items long, state binary"
+
+
+def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
+                  value_kind: str = "i32_array", n_salts: int = 16,
+                  salt_on: str | None = None) -> DataFrame:
+    """One sketch per group with explicit salt-bucketed two-phase aggregation.
+
+    Phase 1 groups on (group, salt) so the zipfian-heavy group fans out over
+    ``n_salts`` tasks; phase 2 merges the n_salts small states per group.
+    → DataFrame(group string, n_items long, state binary).
+    """
+    array_input = value_kind == "i32_array"
+    elem_kind = "i32" if array_input else value_kind
+    salt_src = F.xxhash64(F.col(salt_on)) if salt_on else F.xxhash64(F.monotonically_increasing_id())
+    base = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.pmod(salt_src, F.lit(n_salts)).alias("salt"),
+        F.col(col).alias("v"),
+    )
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = sketch.empty()
+        vals = _flatten_arrays(pdf["v"]) if array_input else pdf["v"].dropna().to_numpy()
+        n = _update(sketch, state, vals, elem_kind)
+        return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
+                             "state": [sketch.serialize(state)]})
+
+    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .merge import merge_blobs
+        blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
+        return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
+                             "state": [blob]})
+
+    partials = base.groupBy("group", "salt").applyInPandas(phase1, GROUPED_SCHEMA)
+    return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
+
+
+def build_grouped_single_writer(df: DataFrame, kind: str, params, group_col: str,
+                                col: str, value_kind: str = "str") -> DataFrame:
+    """Single-writer grouped build for non-mergeable sketches (cuckoo).
+
+    The whole group flows through ONE task (the reference's insert semantics
+    are inherently sequential — /root/reference/filter/cuckoo/filter.go:39-66
+    random-walk eviction); the eviction RNG is seeded from the group name so
+    builds are deterministic.  Returns (group, n_items, n_failed, state).
+    """
+    cls = sketch_for_kind(kind)
+    array_input = value_kind == "i32_array"
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = cls(params)
+        state = sk.empty()
+        group = pdf["group"].iloc[0]
+        rng_seed = zlib.crc32(str(group).encode())  # process-stable, unlike hash()
+        if array_input:
+            vals = _flatten_arrays(pdf["v"])
+            failed = sk.insert_i32(state, vals, rng_seed)
+            n = int(vals.size)
+        elif value_kind == "str":
+            vals = [v for v in pdf["v"].dropna()]
+            failed = sk.insert_str(state, vals, rng_seed)
+            n = len(vals)
+        else:
+            vals = pdf["v"].dropna().to_numpy()
+            failed = sk.insert_i32(state, np.asarray(vals, np.int32), rng_seed)
+            n = int(len(vals))
+        return pd.DataFrame({"group": [group], "n_items": [n],
+                             "n_failed": [failed], "state": [sk.serialize(state)]})
+
+    base = df.select(F.col(group_col).cast("string").alias("group"), F.col(col).alias("v"))
+    return base.groupBy("group").applyInPandas(
+        build_one, "group string, n_items long, n_failed long, state binary")

@@ -1,0 +1,108 @@
+"""Checkpoint / lineage / resume for sketch builds.
+
+North rule: "checkpoint per-partition sketch state with lineage and metrics
+to Iceberg for resumability".  No Iceberg runtime jar ships in this sandbox
+(SURVEY.md §7), so the checkpoint store is a parquet-backed table shim with
+the identical schema and append semantics — swapping the writer to
+``df.writeTo(tbl).append()`` is a one-line change on a cluster with the
+Iceberg catalog configured.
+
+Table layout (one directory per logical table under ``root``):
+  sketch_state:  sketch_id, kind, level, partition_id, n_items, state,
+                 params_json, input_desc, created_utc
+  sketch_final:  sketch_id, kind, n_items, state, params_json, created_utc
+
+Resume = read the persisted partials for a sketch_id and re-run the merge
+tree (the serde + associative merge make resume equivalent to a fresh build
+— reference round-trip invariant, /root/reference/filter/bloom/filter_test.go:187-233).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .merge import merge_partials_tree
+
+PARTIAL_TABLE_SCHEMA = ("sketch_id string, kind string, level int, partition_id long, "
+                        "n_items long, state binary, params_json string, "
+                        "input_desc string, created_utc double")
+FINAL_TABLE_SCHEMA = ("sketch_id string, kind string, n_items long, state binary, "
+                      "params_json string, created_utc double")
+
+
+def params_json(sketch) -> str:
+    p = sketch.params
+    d = dataclasses.asdict(p) if dataclasses.is_dataclass(p) else dict(p.__dict__)
+    return json.dumps({k: v for k, v in d.items()}, sort_keys=True, default=str)
+
+
+class SketchCheckpoint:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tbl(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- write ---------------------------------------------------------------
+    def write_partials(self, sketch_id: str, sketch, partials: DataFrame,
+                       input_desc: str = "", level: int = 0) -> DataFrame:
+        """Persist partial rows; returns the *persisted* partials re-read from
+        storage so the downstream merge consumes checkpointed state (resume
+        equivalence is structural, not best-effort)."""
+        pj = params_json(sketch)
+        now = time.time()
+        enriched = partials.select(
+            F.lit(sketch_id).alias("sketch_id"),
+            F.lit(sketch.kind).alias("kind"),
+            F.lit(level).alias("level"),
+            "partition_id", "n_items", "state",
+            F.lit(pj).alias("params_json"),
+            F.lit(input_desc).alias("input_desc"),
+            F.lit(now).alias("created_utc"),
+        )
+        path = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
+        enriched.write.mode("append").parquet(path)
+        spark = partials.sparkSession
+        return (spark.read.parquet(path)
+                .where(F.col("level") == level)
+                .select("partition_id", "n_items", "state"))
+
+    def write_final(self, sketch_id: str, sketch, blob: bytes, n_items: int) -> None:
+        spark = SparkSession.getActiveSession()
+        df = spark.createDataFrame(
+            [(sketch_id, sketch.kind, n_items, bytearray(blob),
+              params_json(sketch), time.time())],
+            FINAL_TABLE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self._tbl("sketch_final"), f"sketch_id={sketch_id}"))
+
+    def log_metrics(self, sketch_id: str, metrics: dict) -> None:
+        path = os.path.join(self.root, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"sketch_id": sketch_id, "ts": time.time(),
+                                "run_id": uuid.uuid4().hex[:8], **metrics}) + "\n")
+
+    # -- read / resume ----------------------------------------------------------
+    def read_final(self, spark: SparkSession, sketch_id: str) -> tuple[bytes, int]:
+        path = os.path.join(self._tbl("sketch_final"), f"sketch_id={sketch_id}")
+        rows = (spark.read.parquet(path)
+                .orderBy(F.col("created_utc").desc()).limit(1).collect())
+        return bytes(rows[0].state), int(rows[0].n_items)
+
+    def resume(self, spark: SparkSession, sketch_id: str, sketch,
+               fanin: int = 64) -> tuple[bytes, int]:
+        """Rebuild the final state from checkpointed partials alone."""
+        path = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
+        partials = (spark.read.parquet(path)
+                    .select("partition_id", "n_items", "state"))
+        row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
+        blob, n = bytes(row.state), int(row.n_items)
+        self.write_final(sketch_id, sketch, blob, n)
+        return blob, n

@@ -1,0 +1,70 @@
+"""Associative merge tree over partial sketch states.
+
+P partial rows → ⌈P/fanin⌉ → … → 1, mirroring ``treeAggregate`` semantics on
+the DataFrame API (SURVEY.md §4.2).  Each level is a
+``groupBy(partition_id / fanin).applyInPandas`` over *state rows only* —
+shuffle volume per level is (#rows × |state|), never the input data.
+
+Safety: partial blobs carry their params in the serialized header; merging
+states built under different params silently corrupts estimates, so every
+merge first checks header equality (the kernel-level foot-gun found during
+verification).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+PARTIAL_SCHEMA = "partition_id long, n_items long, state binary"
+
+# fixed-size header prefix per kind that must be identical across mergeable
+# blobs (params + seeds; see each sketch's serialize())
+_HEADER_LEN = {
+    "bloom": 16,          # u32 m | u32 k | u64 seed
+    "blocked_bloom": 16,
+    "cuckoo": 20,         # cuckoo never merges; listed for completeness
+    "hll": 12,            # u32 b | u64 seed
+    "cms": 32,            # u32 d | u32 w | u64 seed | f64 eps | f64 delta
+    "kll": 12,            # u32 k | u64 seed (n/counter follow, may differ)
+    "tdigest": 8,         # f64 compression
+}
+
+
+def merge_blobs(sketch, blobs: list, n_items: int) -> tuple[bytes, int]:
+    """Fold-merge serialized states (header-checked); returns (blob, n)."""
+    hlen = _HEADER_LEN[sketch.kind]
+    head = bytes(blobs[0][:hlen])
+    cls = type(sketch)
+    _, acc = cls.deserialize(bytes(blobs[0]))
+    for b in blobs[1:]:
+        if bytes(b[:hlen]) != head:
+            raise ValueError(
+                f"refusing to merge {sketch.kind} states with different params/seeds")
+        _, st = cls.deserialize(bytes(b))
+        acc = sketch.merge(acc, st)
+    return sketch.serialize(acc), int(n_items)
+
+
+def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFrame:
+    """Reduce a partials DataFrame to a single (partition_id=0, n_items, state)
+    row via a fanin-ary tree of applyInPandas merges."""
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
+        return pd.DataFrame({"partition_id": [int(pdf["grp"].iloc[0])],
+                             "n_items": [n], "state": [blob]})
+
+    df = partials.persist()
+    count = df.count()
+    while count > 1:
+        nxt = (
+            df.withColumn("grp", F.floor(F.col("partition_id") / fanin))
+              .drop("partition_id")
+              .groupBy("grp")
+              .applyInPandas(merge_group, PARTIAL_SCHEMA)
+              .persist()
+        )
+        new_count = nxt.count()
+        df.unpersist()
+        df, count = nxt, new_count
+    return df

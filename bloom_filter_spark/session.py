@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults target the 32-core sandbox; on a real cluster the same
+code runs unchanged under spark-submit (master/memory come from the
+submitter).  Settings that matter at 100 TB scale and why:
+
+  - AQE on (+ skew-join, + partition coalescing): runtime re-planning for
+    the exact skew the zipfian `source` column produces.
+  - shuffle.partitions ≈ cores locally; on a cluster AQE coalescing makes an
+    over-provisioned number safe.
+  - Arrow exchange on with a bounded batch size: the build operators stream
+    record batches through numpy — batch size bounds Python-worker memory,
+    not correctness.
+  - parquet pushdown/pruning are Catalyst defaults; operators `select()` the
+    narrow column set before any UDF so ReadSchema stays minimal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "bloom_filter_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              driver_memory: str | None = None) -> SparkSession:
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory",
+                driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,153 @@
+"""End-to-end distributed sketch lifecycle on Spark (SURVEY.md §3.1 M1):
+scan → mapInPandas partial build → applyInPandas merge tree → broadcast
+probe — the reference's main.go workload, distributed.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filter_spark.operators import (
+    SketchCheckpoint, build_grouped, build_grouped_single_writer, build_partials,
+    build_sketch, cms_point_udf, membership_udf, merge_partials_tree,
+)
+from bloom_filter_spark.sketches import (
+    BloomParams, BloomSketch, CMSParams, CMSSketch, CuckooParams,
+    HLLParams, HLLSketch, KLLParams, KLLSketch, TDigestParams, TDigestSketch,
+)
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/tokens.parquet")
+
+
+@pytest.fixture(scope="module")
+def bloom_blob(spark, tokens_df):
+    sketch = BloomSketch(BloomParams(n=60_000, p=0.01))
+    blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array", repartition=8)
+    assert n == tokens_df.select(F.sum("n_tok")).collect()[0][0]
+    return sketch, blob
+
+
+def test_bloom_e2e_zero_fn(spark, sf_small, bloom_blob):
+    # every inserted token must probe true (main.go:39-43 invariant)
+    sketch, blob = bloom_blob
+    present = spark.read.parquet(f"{sf_small}/probes_present.parquet")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    res = present.select(probe(F.col("token")).alias("member"))
+    assert res.where(~F.col("member")).count() == 0
+
+
+def test_bloom_e2e_fpr(spark, sf_small, bloom_blob):
+    sketch, blob = bloom_blob
+    absent = spark.read.parquet(f"{sf_small}/probes_absent.parquet")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    fp = absent.select(probe(F.col("token")).alias("m")).where("m").count()
+    assert fp / 10_000 <= sketch.params.p
+
+
+def test_distributed_equals_local(spark, tokens_df, bloom_blob):
+    # the distributed OR-merge must equal a single-process build bit-for-bit
+    sketch, blob = bloom_blob
+    local_state = sketch.empty()
+    pdf = tokens_df.select("tokens").toPandas()
+    flat = np.concatenate([a for a in pdf["tokens"].to_numpy() if len(a)]).astype(np.int32)
+    sketch.update_i32(local_state, flat)
+    assert sketch.serialize(local_state) == blob
+
+
+def test_merge_tree_multilevel(spark, tokens_df):
+    # force a 3-level tree (fanin 4 over 32 partitions) — same result
+    sketch = BloomSketch(BloomParams(n=60_000, p=0.01))
+    partials = build_partials(tokens_df, sketch, "tokens", "i32_array", repartition=32)
+    row = merge_partials_tree(partials, sketch, fanin=4).collect()[0]
+    blob, _ = build_sketch(tokens_df, sketch, "tokens", "i32_array", repartition=8)
+    assert bytes(row.state) == blob
+
+
+def test_hll_distributed_estimate(spark, tokens_df):
+    sketch = HLLSketch(HLLParams(b=14))
+    blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array")
+    _, state = HLLSketch.deserialize(blob)
+    est = sketch.estimate(state)
+    exact = (tokens_df.select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    assert abs(est - exact) / exact <= 4 * sketch.params.std_error
+
+
+def test_cms_distributed_point_queries(spark, tokens_df):
+    sketch = CMSSketch(CMSParams(eps=0.0001, delta=0.001))
+    blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array")
+    exact = (tokens_df.select(F.explode("tokens").alias("t"))
+             .groupBy("t").count().orderBy(F.desc("count")).limit(50))
+    point = cms_point_udf(spark, blob, "i32")
+    got = exact.withColumn("est", point(F.col("t"))).collect()
+    for r in got:
+        assert r.est >= r["count"]                 # never underestimates
+        assert r.est - r["count"] <= sketch.params.eps * n
+
+
+def test_kll_tdigest_distributed_quantiles(spark, tokens_df):
+    exact_ntok = np.sort(np.array(
+        tokens_df.select("n_tok").toPandas()["n_tok"], dtype=np.float64))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for sketch in (KLLSketch(KLLParams(k=200)), TDigestSketch(TDigestParams(200))):
+        blob, n = build_sketch(tokens_df, sketch, "n_tok", "f64")
+        assert n == exact_ntok.size
+        _, state = type(sketch).deserialize(blob)
+        est = sketch.quantiles(state, qs)
+        ranks = np.searchsorted(exact_ntok, est, side="right") / exact_ntok.size
+        bound = sketch.params.rank_error * 1.5 if hasattr(sketch.params, "rank_error") else 0.02
+        assert np.abs(ranks - np.array(qs)).max() <= bound
+
+
+def test_grouped_build_salted(spark, tokens_df):
+    # per-source HLL with salt fan-out; estimates match per-source exact counts
+    sketch = HLLSketch(HLLParams(b=12))
+    grouped = build_grouped(tokens_df, sketch, "source", "tokens",
+                            "i32_array", n_salts=8, salt_on="doc_id").collect()
+    exact = {r.source: r.cnt for r in
+             tokens_df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("cnt")).collect()}
+    assert len(grouped) == len(exact)
+    for row in grouped:
+        _, state = HLLSketch.deserialize(bytes(row.state))
+        est = sketch.estimate(state)
+        assert abs(est - exact[row.group]) / exact[row.group] <= 5 * sketch.params.std_error
+
+
+def test_cuckoo_grouped_single_writer(spark, tokens_df):
+    res = build_grouped_single_writer(
+        tokens_df, "cuckoo", CuckooParams(n=30_000, load_factor=0.8),
+        "source", "doc_id", "str").collect()
+    assert sum(r.n_failed for r in res) == 0
+    from bloom_filter_spark.sketches import CuckooFilter
+    by_group = {r.group: bytes(r.state) for r in res}
+    docs = tokens_df.where(F.col("source") == "src_00").select("doc_id").toPandas()
+    cf, state = CuckooFilter.deserialize(by_group["src_00"])
+    assert cf.contains_str(state, docs["doc_id"].tolist()).all()
+
+
+def test_checkpoint_resume(spark, tokens_df, tmp_path, bloom_blob):
+    sketch, direct_blob = bloom_blob
+    ck = SketchCheckpoint(str(tmp_path / "ckpt"))
+    blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array",
+                           repartition=8, checkpoint=ck, sketch_id="bloom_t1")
+    assert blob == direct_blob
+    # resume from persisted partials only — must equal the direct build
+    blob2, n2 = ck.resume(spark, "bloom_t1", sketch)
+    assert blob2 == direct_blob and n2 == n
+    # and the stored final is readable
+    blob3, _ = ck.read_final(spark, "bloom_t1")
+    assert blob3 == direct_blob
+
+
+def test_mismatched_params_merge_refused(spark, tokens_df):
+    a = build_partials(tokens_df.limit(100), BloomSketch(BloomParams(n=1000, p=0.01)),
+                       "tokens", "i32_array", repartition=1)
+    b = build_partials(tokens_df.limit(100), BloomSketch(BloomParams(n=1000, p=0.02)),
+                       "tokens", "i32_array", repartition=1)
+    both = a.union(b)
+    with pytest.raises(Exception, match="different params|PythonException|refusing"):
+        merge_partials_tree(both, BloomSketch(BloomParams(n=1000, p=0.01))).collect()
