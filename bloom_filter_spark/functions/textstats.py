@@ -1,0 +1,110 @@
+"""Text analysis for training-data curation — token counting, quality
+scoring, document fingerprinting, language ID.
+
+Everything except language-ID is pure built-in `pyspark.sql.functions`
+(JVM-side, whole-stage codegen) so the hot path never crosses into Python;
+language-ID scores character-trigram profiles in a vectorized pandas UDF
+(the profiles are tiny and ship in the closure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+# minimal stopword set shared with the SQL oracle (ASCII, lowercase corpus)
+STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "on", "for"]
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_distinct_words, n_chars_check) — whitespace
+    tokenization; a BPE-ish regex variant is `token_count_bpe`."""
+    w = with_words(df, text_col)
+    return w.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct_words"),
+        F.length(text_col).cast("long").alias("n_chars_check"),
+    )
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token count: split on word boundaries AND digit/letter
+    transitions (a cheap BPE-like pre-tokenizer, GPT-2 pre-tokenize regex
+    family) — still JVM-side regex."""
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+         .cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + bucket (rounded for oracle parity)."""
+    w = with_words(df, text_col)
+    n_words = F.size("words")
+    stop_hits = F.size(F.array_intersect("words", F.array(*[F.lit(s) for s in STOPWORDS])))
+    uniq_ratio = F.size(F.array_distinct("words")) / n_words
+    mean_wlen = (F.length(text_col) - (n_words - 1)) / n_words
+    score = (0.4 * uniq_ratio
+             + 0.3 * F.least(F.lit(1.0), mean_wlen / F.lit(6.0))
+             + 0.3 * F.least(F.lit(1.0), n_words / F.lit(64.0)))
+    return w.select(
+        "doc_id",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        stop_hits.cast("long").alias("stopword_kinds"),
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.8, "high").when(score >= 0.5, "mid").otherwise("low")
+         .alias("quality_bucket"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical shingle-set fingerprint: md5 of the sorted distinct word
+    set — identical docs (up to word order/duplication) collide by design."""
+    w = with_words(df, text_col)
+    return w.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("words"))))
+         .alias("fingerprint"),
+    )
+
+
+# tiny character-trigram profiles (top trigrams per language, public-knowledge
+# frequency lists) — enough for a heuristic scorer over short texts
+_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", "her", "for", " th", "he ", "hat"],
+    "de": ["der", "die", "und", "ein", "ich", "sch", "en ", "ch ", "cht", "das"],
+    "es": ["de ", "la ", "que", "el ", "en ", "ión", "ado", "os ", "ent", "una"],
+    "fr": ["es ", "de ", "le ", "ent", "la ", "que", "ion", "ait", "les", "une"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram language ID: argmax of per-language trigram-profile
+    hit counts, 'und' (undetermined) when no profile scores ≥ 2 hits.
+    Vectorized pandas UDF (Arrow batches; profile matching via str.count)."""
+    profiles = _PROFILES
+
+    @F.pandas_udf(StringType())
+    def classify(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("").str.lower()
+        scores = np.zeros((len(t), len(profiles)), np.int64)
+        for j, (_, grams) in enumerate(profiles.items()):
+            for g in grams:
+                scores[:, j] += t.str.count(g, flags=0).to_numpy(np.int64)
+        langs = list(profiles)
+        best = scores.argmax(axis=1)
+        out = np.array([langs[b] for b in best], dtype=object)
+        out[scores.max(axis=1) < 2] = "und"
+        return pd.Series(out)
+
+    return df.select("doc_id", classify(F.col(text_col)).alias("lang_pred"))

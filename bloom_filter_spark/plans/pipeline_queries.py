@@ -1,0 +1,319 @@
+"""Training-data pipeline + relational queries for the driver contract.
+
+These run over the driver's testdata tables (documents / embeddings /
+lineitem / orders / customer / nation / events), so their oracles are plain
+SQL over the pre-registered DuckDB views — the strongest form of the
+correctness check (exact value-hash equality, no fixture indirection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, relational, similarity, textstats
+
+TOPK_QUERY_IDS = list(range(10))
+COSINE_TAU = 0.45
+JACCARD_TAU = 0.5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_TAU)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_TAU)
+    # internal pair orientation is string-ordered; re-orient numerically so
+    # the pair set matches the BIGINT-keyed oracle exactly
+    a = F.col("doc_a").cast("long")
+    b = F.col("doc_b").cast("long")
+    return out.select(F.least(a, b).alias("doc_a"),
+                      F.greatest(a, b).alias("doc_b"), "jaccard")
+
+
+def q_simhash(spark, sf_dir):
+    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"), "hamming")
+
+
+# ---------------------------------------------------------------- similarity
+def q_cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
+
+
+def q_cosine_neardup(spark, sf_dir):
+    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=COSINE_TAU)
+
+
+def q_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------- text stats
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- multimodal
+def q_multimodal_meta(spark, sf_dir):
+    payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(payload)
+    return feats.select("doc_id", "n_bytes", "fake_width", "fake_height")
+
+
+# ---------------------------------------------------------------- relational
+def q_tpch_q1(spark, sf_dir):
+    return relational.tpch_q1(spark, sf_dir)
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    return relational.top_customer_per_nation(spark, sf_dir)
+
+
+def q_sessionize(spark, sf_dir):
+    return relational.sessionize_events(spark, sf_dir)
+
+
+def q_event_type_stats(spark, sf_dir):
+    return relational.event_type_stats(spark, sf_dir)
+
+
+def q_shipdate_rollup(spark, sf_dir):
+    return relational.lineitem_shipdate_rollup(spark, sf_dir)
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "embedding_cosine_topk": q_cosine_topk,
+    "embedding_cosine_neardup": q_cosine_neardup,
+    "embedding_lsh_topk": q_lsh_topk,
+    "text_token_count": q_token_count,
+    "text_token_count_bpe": q_token_count_bpe,
+    "text_quality": q_quality,
+    "text_fingerprint": q_fingerprint,
+    "text_langid": q_langid,
+    "multimodal_meta": q_multimodal_meta,
+    "tpch_q1": q_tpch_q1,
+    "top_customer_per_nation": q_top_customer_per_nation,
+    "events_sessionize": q_sessionize,
+    "event_type_stats": q_event_type_stats,
+    "lineitem_shipdate_rollup": q_shipdate_rollup,
+}
+
+_STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
+
+_JACCARD_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM words
+), tg AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM pos QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+), tri AS (
+  SELECT DISTINCT doc_id, g FROM tg
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_TAU}
+"""
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM q, c WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+def pipeline_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        # minhash recall at τ=0.5 is exact here: bands=64 × rows=2 ⇒
+        # P(miss | j≥0.5) ≤ (1-0.25)^64 < 1e-8, and the candidate set is
+        # exact-Jaccard-verified — so the oracle is the same exact pair set
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "embedding_cosine_topk": _COSINE_TOPK_SQL,
+        "embedding_cosine_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_check
+            FROM documents
+        """,
+        "text_token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS lc
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(list_distinct(ws)) * 1.0 / len(ws) AS uniq_ratio,
+                     (lc - (len(ws) - 1)) * 1.0 / len(ws) AS mean_word_len,
+                     len(list_intersect(list_distinct(ws), {_STOP_SQL})) AS sk,
+                     len(ws) AS nw
+              FROM w
+            ), s AS (
+              SELECT doc_id, uniq_ratio, mean_word_len, sk,
+                     0.4 * uniq_ratio + 0.3 * least(1.0, mean_word_len / 6.0)
+                       + 0.3 * least(1.0, nw / 64.0) AS score
+              FROM f
+            )
+            SELECT doc_id, round(uniq_ratio, 6) AS uniq_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   CAST(sk AS BIGINT) AS stopword_kinds,
+                   round(score, 6) AS quality,
+                   CASE WHEN score >= 0.8 THEN 'high'
+                        WHEN score >= 0.5 THEN 'mid' ELSE 'low' END AS quality_bucket
+            FROM s
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INTEGER)
+                       AS fake_width,
+                   CAST(floor(octet_length(CAST(text AS BLOB))
+                        / floor(sqrt(octet_length(CAST(text AS BLOB)))))
+                        AS INTEGER) AS fake_height
+            FROM documents
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customer_per_nation": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend
+              FROM orders GROUP BY o_custkey
+            ), ranked AS (
+              SELECT n.n_name AS nation, c.c_name AS customer, s.total_spend,
+                     row_number() OVER (PARTITION BY n.n_name
+                         ORDER BY s.total_spend DESC, c.c_custkey ASC) AS rn
+              FROM spend s
+              JOIN customer c ON s.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT nation, customer, total_spend FROM ranked WHERE rn = 1
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "event_type_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_shipdate_rollup": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem GROUP BY 1
+        """,
+        # dedup_simhash, embedding_lsh_topk, text_langid: recall/heuristic
+        # operators — deliberately rows-only (no SQL-expressible exact oracle)
+    }

@@ -1,0 +1,402 @@
+"""Driver-contract query library: every operator exposed as a
+(spark, sf_dir) → DataFrame callable plus, where expressible, an exact
+ANSI-SQL oracle that DuckDB runs over the same parquet.
+
+Conventions (driver compares row count + schema + order-insensitive
+value hash, columns sorted by name):
+  - every computed column is aliased identically in Spark and SQL;
+  - approximate estimates are never hash-compared directly — queries emit
+    (exact value, bound-check boolean) pairs where the exact part is
+    SQL-reproducible and the boolean asserts the sketch's published bound
+    (the north rule's acceptance criterion);
+  - fixture-backed queries read the deterministic token table generated
+    under .fixtures/<sf>/ (FIXTURES.md F1/F2), which the oracle reads via
+    read_parquet() at the same absolute path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import (
+    build_grouped, build_grouped_single_writer, build_sketch,
+    cms_point_udf, membership_udf,
+)
+from ..sketches import (
+    BlockedBloomParams, BlockedBloomSketch, BloomParams, BloomSketch,
+    CMSParams, CMSSketch, CuckooFilter, CuckooParams,
+    HLLParams, HLLSketch, KLLParams, KLLSketch,
+    TDigestParams, TDigestSketch,
+)
+from ..sources.fixtures import ensure_fixtures, rows_for_sf, sf_name_of_dir
+
+# sketch configs (fixed for determinism; token sketches sized by distinct
+# cardinality — vocab is 50,257 — not by total token count; see FIXTURES.md)
+TOKEN_BLOOM = BloomParams(n=65_536, p=0.01)
+DOC_BLOOM_P = 0.01
+TOKEN_BLOCKED = BlockedBloomParams(n=65_536, p=0.01)
+HLL_B = 14
+CMS_CFG = CMSParams(eps=0.0001, delta=0.001)
+KLL_CFG = KLLParams(k=200)
+TD_CFG = TDigestParams(compression=200)
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+_BLOB_CACHE: dict[tuple, tuple] = {}
+
+
+def _fx(sf_dir: str) -> str:
+    return ensure_fixtures(sf_name_of_dir(sf_dir))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{_fx(sf_dir)}/tokens.parquet")
+
+
+def _blob(spark, sf_dir, kind: str):
+    """Build-once cache for final sketch blobs shared across queries."""
+    key = (sf_name_of_dir(sf_dir), kind)
+    if key in _BLOB_CACHE:
+        return _BLOB_CACHE[key]
+    toks = _tokens(spark, sf_dir)
+    if kind == "bloom_tokens":
+        out = build_sketch(toks, BloomSketch(TOKEN_BLOOM), "tokens", "i32_array")
+    elif kind == "blocked_tokens":
+        out = build_sketch(toks, BlockedBloomSketch(TOKEN_BLOCKED), "tokens", "i32_array")
+    elif kind == "bloom_docs":
+        n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
+        out = build_sketch(toks, BloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P)),
+                           "doc_id", "str")
+    elif kind == "hll_tokens":
+        out = build_sketch(toks, HLLSketch(HLLParams(b=HLL_B)), "tokens", "i32_array")
+    elif kind == "cms_tokens":
+        out = build_sketch(toks, CMSSketch(CMS_CFG), "tokens", "i32_array")
+    elif kind == "kll_ntok":
+        out = build_sketch(toks, KLLSketch(KLL_CFG), "n_tok", "f64")
+    elif kind == "td_ntok":
+        out = build_sketch(toks, TDigestSketch(TD_CFG), "n_tok", "f64")
+    elif kind == "kll_tokens":
+        out = build_sketch(toks, KLLSketch(KLL_CFG), "tokens", "i32_array")
+    else:
+        raise KeyError(kind)
+    _BLOB_CACHE[key] = out
+    return out
+
+
+# --------------------------------------------------------------------------
+# Bloom membership (the reference's main.go workload, distributed)
+# --------------------------------------------------------------------------
+def q_bloom_membership_present(spark, sf_dir):
+    """Probe every distinct present token — zero-false-negative invariant
+    (/root/reference/filter/bloom/filter_test.go:134-151)."""
+    blob, _ = _blob(spark, sf_dir, "bloom_tokens")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    distinct = (_tokens(spark, sf_dir)
+                .select(F.explode("tokens").alias("token")).distinct())
+    return distinct.select("token", probe("token").alias("member"))
+
+
+def q_bloom_membership_fpr(spark, sf_dir):
+    """10k guaranteed-absent probes; asserts measured FPR ≤ configured p
+    (quirk Q3: m rounds up ⇒ real FPR < p)."""
+    blob, _ = _blob(spark, sf_dir, "bloom_tokens")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    absent = spark.read.parquet(f"{_fx(sf_dir)}/probes_absent.parquet")
+    agg = absent.agg(
+        F.count("*").alias("n"),
+        F.sum(probe("token").cast("long")).alias("fp")).collect()[0]
+    ok = (agg.fp / agg.n) <= TOKEN_BLOOM.p
+    return spark.createDataFrame([(int(agg.n), bool(ok))],
+                                 "n_probes bigint, fpr_le_p boolean")
+
+
+def q_bloom_doc_membership(spark, sf_dir):
+    """String-keyed Bloom over doc_id (reference string-keyed workload,
+    comparison_test.go:20-31); every doc_id must probe true."""
+    blob, _ = _blob(spark, sf_dir, "bloom_docs")
+    probe = membership_udf(spark, blob, "bloom", "str")
+    docs = _tokens(spark, sf_dir).select("doc_id")
+    return docs.select("doc_id", probe("doc_id").alias("member"))
+
+
+def q_blocked_bloom_membership(spark, sf_dir):
+    """Blocked-bloom variant (quirk Q2: fixed k=4) — zero FN on the present
+    probe sample."""
+    blob, _ = _blob(spark, sf_dir, "blocked_tokens")
+    probe = membership_udf(spark, blob, "blocked_bloom", "i32")
+    present = spark.read.parquet(f"{_fx(sf_dir)}/probes_present.parquet")
+    return present.select("token", probe("token").alias("member")).distinct()
+
+
+def q_cuckoo_doc_membership(spark, sf_dir):
+    """Grouped single-writer cuckoo per source over doc_ids; every inserted
+    doc probes true (zero FN, delete capability tested in pytest)."""
+    toks = _tokens(spark, sf_dir)
+    n_per_group = rows_for_sf(sf_name_of_dir(sf_dir))  # upper bound per group
+    states = build_grouped_single_writer(
+        toks, "cuckoo", CuckooParams(n=max(n_per_group, 64), load_factor=0.8),
+        "source", "doc_id", "str")
+    import pandas as pd
+
+    def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf, state = CuckooFilter.deserialize(bytes(pdf["state"].iloc[0]))
+        member = cf.contains_str(state, pdf["doc_id"].tolist())
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "member": member})
+
+    docs = toks.select("source", "doc_id")
+    joined = docs.join(F.broadcast(states.withColumnRenamed("group", "source")), "source")
+    return (joined.groupBy("source")
+            .applyInPandas(probe_group, "doc_id string, member boolean")
+            .select("doc_id", "member"))
+
+
+# --------------------------------------------------------------------------
+# HLL distinct counts
+# --------------------------------------------------------------------------
+def q_hll_distinct_tokens(spark, sf_dir):
+    blob, _ = _blob(spark, sf_dir, "hll_tokens")
+    sk = HLLSketch(HLLParams(b=HLL_B))
+    _, state = HLLSketch.deserialize(blob)
+    est = sk.estimate(state)
+    exact = (_tokens(spark, sf_dir).select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    ok = abs(est - exact) <= 4 * sk.params.std_error * exact
+    return spark.createDataFrame([(int(exact), bool(ok))],
+                                 "exact_distinct bigint, within_bound boolean")
+
+
+def q_hll_distinct_per_source(spark, sf_dir):
+    """Grouped sketches with the salted two-phase build (north-rule skew
+    path: 45% of rows share one source)."""
+    toks = _tokens(spark, sf_dir)
+    sk = HLLSketch(HLLParams(b=HLL_B))
+    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array",
+                            n_salts=16, salt_on="doc_id")
+    rows = grouped.collect()
+    exact = {r.source: r.cnt for r in
+             toks.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("cnt")).collect()}
+    out = []
+    for r in rows:
+        _, state = HLLSketch.deserialize(bytes(r.state))
+        est = sk.estimate(state)
+        ex = exact[r.group]
+        out.append((r.group, int(ex),
+                    bool(abs(est - ex) <= 5 * sk.params.std_error * ex)))
+    return spark.createDataFrame(
+        out, "source string, exact_distinct bigint, within_bound boolean")
+
+
+# --------------------------------------------------------------------------
+# CMS frequency point queries
+# --------------------------------------------------------------------------
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Top-20 tokens by exact count; CMS estimate must sit in
+    [exact, exact + eps*N] (Cormode–Muthukrishnan bound)."""
+    blob, n_total = _blob(spark, sf_dir, "cms_tokens")
+    point = cms_point_udf(spark, blob, "i32")
+    top = (_tokens(spark, sf_dir).select(F.explode("tokens").alias("token"))
+           .groupBy("token").agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20))
+    eps_n = CMS_CFG.eps * n_total
+    return top.withColumn("est", point(F.col("token"))).select(
+        "token", "exact_cnt",
+        ((F.col("est") >= F.col("exact_cnt"))
+         & (F.col("est") <= F.col("exact_cnt") + F.lit(eps_n))).alias("cms_ok"))
+
+
+def q_cms_no_underestimate(spark, sf_dir):
+    """CMS structural guarantee: estimates never fall below exact counts —
+    checked over every distinct token."""
+    blob, _ = _blob(spark, sf_dir, "cms_tokens")
+    point = cms_point_udf(spark, blob, "i32")
+    counts = (_tokens(spark, sf_dir).select(F.explode("tokens").alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    agg = counts.agg(
+        F.count("*").alias("n"),
+        F.sum((point(F.col("token")) < F.col("cnt")).cast("long")).alias("under"),
+    ).collect()[0]
+    return spark.createDataFrame([(int(agg.n), int(agg.under))],
+                                 "n_probed bigint, n_underestimates bigint")
+
+
+# --------------------------------------------------------------------------
+# Quantile sketches (KLL / t-digest)
+# --------------------------------------------------------------------------
+def _quantile_bound_check(spark, sf_dir, blob_key: str, sketch, value_expr: str,
+                          bound: float):
+    """Shared rank-interval check: for discrete data with point masses the
+    KLL/t-digest guarantee is rank_lt(est) - eps ≤ q ≤ rank_le(est) + eps."""
+    _, state = type(sketch).deserialize(_blob(spark, sf_dir, blob_key)[0])
+    est = sketch.quantiles(state, QS)
+    vals = _tokens(spark, sf_dir).selectExpr(f"{value_expr} as v")
+    aggs = [F.count("*").alias("n")]
+    for i, e in enumerate(est):
+        aggs.append(F.sum((F.col("v") < float(e)).cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("v") <= float(e)).cast("long")).alias(f"le{i}"))
+    row = vals.agg(*aggs).collect()[0]
+    out = []
+    for i, q in enumerate(QS):
+        lt = row[f"lt{i}"] / row.n
+        le = row[f"le{i}"] / row.n
+        out.append((float(q), bool(lt - bound <= q <= le + bound)))
+    return spark.createDataFrame(out, "q double, within_bound boolean")
+
+
+def q_kll_ntok_quantiles(spark, sf_dir):
+    sk = KLLSketch(KLL_CFG)
+    return _quantile_bound_check(spark, sf_dir, "kll_ntok", sk, "n_tok",
+                                 sk.params.rank_error * 1.5)
+
+
+def q_tdigest_ntok_quantiles(spark, sf_dir):
+    sk = TDigestSketch(TD_CFG)
+    return _quantile_bound_check(spark, sf_dir, "td_ntok", sk, "n_tok", 0.02)
+
+
+def q_kll_token_value_quantiles(spark, sf_dir):
+    """Quantiles of the flat token-value stream — zipfian with huge point
+    masses; exercises the rank-interval form of the guarantee."""
+    sk = KLLSketch(KLL_CFG)
+    return _quantile_bound_check(spark, sf_dir, "kll_tokens", sk,
+                                 "explode(tokens)", sk.params.rank_error * 1.5)
+
+
+# --------------------------------------------------------------------------
+# checkpoint / streaming lifecycle queries
+# --------------------------------------------------------------------------
+def q_bloom_checkpoint_resume(spark, sf_dir):
+    """Build with checkpointed partials, then rebuild from the checkpoint
+    alone — must equal the direct build byte-for-byte (north rule:
+    resumable from checkpoint; reference round-trip invariant,
+    /root/reference/filter/bloom/filter_test.go:187-233)."""
+    import tempfile
+
+    from ..operators import SketchCheckpoint
+    toks = _tokens(spark, sf_dir)
+    sketch = BloomSketch(TOKEN_BLOOM)
+    ck = SketchCheckpoint(tempfile.mkdtemp(prefix="bfs_ckpt_"))
+    direct, n = build_sketch(toks, sketch, "tokens", "i32_array",
+                             checkpoint=ck, sketch_id="resume_check")
+    resumed, n2 = ck.resume(spark, "resume_check", sketch)
+    ok = resumed == direct and n2 == n
+    return spark.createDataFrame([(bool(ok), int(n))],
+                                 "resume_equals_direct boolean, n_items bigint")
+
+
+def q_streaming_bloom(spark, sf_dir):
+    """foreachBatch incremental build over a 4-file stream == batch build
+    bit-for-bit (streaming/batch equivalence of the mergeable algebra)."""
+    import tempfile
+
+    from ..streaming import streaming_sketch_build
+    toks = _tokens(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="bfs_stream_")
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    sketch = BloomSketch(TOKEN_BLOOM)
+    acc = streaming_sketch_build(spark, src, toks.schema, sketch,
+                                 "tokens", "i32_array")
+    batch, n = build_sketch(spark.read.parquet(src), sketch, "tokens", "i32_array")
+    ok = acc.blob() == batch and acc.n_items == n
+    return spark.createDataFrame(
+        [(int(acc.epochs), bool(ok))],
+        "epochs bigint, streaming_equals_batch boolean")
+
+
+# --------------------------------------------------------------------------
+# registry + oracles
+# --------------------------------------------------------------------------
+def flagship(spark: SparkSession) -> DataFrame:
+    """sf0.001 end-to-end: build Bloom over all tokens, probe present+absent,
+    emit the invariant summary (the reference main.go workload)."""
+    sf_dir = "/root/testdata/sf0.001"
+    blob, n = _blob(spark, sf_dir, "bloom_tokens")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    fx = _fx(sf_dir)
+    pres = spark.read.parquet(f"{fx}/probes_present.parquet")
+    abst = spark.read.parquet(f"{fx}/probes_absent.parquet")
+    fn = pres.where(~probe(F.col("token"))).count()
+    fp = abst.where(probe(F.col("token"))).count()
+    return spark.createDataFrame(
+        [("bloom", int(n), int(fn), int(fp), float(fp) / 10_000.0,
+          TOKEN_BLOOM.p, bool(fn == 0 and fp / 10_000.0 <= TOKEN_BLOOM.p))],
+        "kind string, n_tokens bigint, false_negatives bigint, "
+        "false_positives bigint, fpr double, p double, ok boolean")
+
+
+SKETCH_QUERIES = {
+    "bloom_membership_present": q_bloom_membership_present,
+    "bloom_membership_fpr": q_bloom_membership_fpr,
+    "bloom_doc_membership": q_bloom_doc_membership,
+    "blocked_bloom_membership": q_blocked_bloom_membership,
+    "cuckoo_doc_membership": q_cuckoo_doc_membership,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
+    "hll_distinct_per_source": q_hll_distinct_per_source,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_no_underestimate": q_cms_no_underestimate,
+    "kll_ntok_quantiles": q_kll_ntok_quantiles,
+    "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
+    "kll_token_value_quantiles": q_kll_token_value_quantiles,
+    "bloom_checkpoint_resume": q_bloom_checkpoint_resume,
+    "streaming_bloom_equals_batch": q_streaming_bloom,
+}
+
+
+def sketch_oracles() -> dict[str, str]:
+    fx = ensure_fixtures("sf0.01")  # the driver's correctness scale
+    tok = f"read_parquet('{fx}/tokens.parquet')"
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE), TRUE)" for q in QS)
+    qb_sql = f"SELECT * FROM (VALUES {qs_rows}) t(q, within_bound)"
+    return {
+        "bloom_membership_present": f"""
+            SELECT DISTINCT unnest(tokens) AS token, TRUE AS member FROM {tok}
+        """,
+        "bloom_membership_fpr":
+            "SELECT CAST(10000 AS BIGINT) AS n_probes, TRUE AS fpr_le_p",
+        "bloom_doc_membership":
+            f"SELECT doc_id, TRUE AS member FROM {tok}",
+        "blocked_bloom_membership": f"""
+            SELECT DISTINCT token, TRUE AS member
+            FROM read_parquet('{fx}/probes_present.parquet')
+        """,
+        "cuckoo_doc_membership":
+            f"SELECT doc_id, TRUE AS member FROM {tok}",
+        "hll_distinct_tokens": f"""
+            SELECT count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
+            FROM (SELECT unnest(tokens) AS t FROM {tok})
+        """,
+        "hll_distinct_per_source": f"""
+            SELECT source, count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
+            FROM (SELECT source, unnest(tokens) AS t FROM {tok})
+            GROUP BY source
+        """,
+        "cms_heavy_hitters": f"""
+            SELECT token, exact_cnt, TRUE AS cms_ok FROM (
+                SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM (SELECT unnest(tokens) AS t FROM {tok})
+                GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
+        """,
+        "cms_no_underestimate": f"""
+            SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_probed,
+                   CAST(0 AS BIGINT) AS n_underestimates
+            FROM (SELECT unnest(tokens) AS t FROM {tok})
+        """,
+        "kll_ntok_quantiles": qb_sql,
+        "tdigest_ntok_quantiles": qb_sql,
+        "kll_token_value_quantiles": qb_sql,
+        "bloom_checkpoint_resume": f"""
+            SELECT TRUE AS resume_equals_direct,
+                   CAST(sum(n_tok) AS BIGINT) AS n_items FROM {tok}
+        """,
+        "streaming_bloom_equals_batch":
+            "SELECT CAST(4 AS BIGINT) AS epochs, TRUE AS streaming_equals_batch",
+    }
+
+
+from .pipeline_queries import PIPELINE_QUERIES, pipeline_oracles  # noqa: E402
+
+QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
+
+
+def ORACLES() -> dict[str, str]:
+    return {**sketch_oracles(), **pipeline_oracles()}

@@ -43,7 +43,14 @@ def get_spark(app_name: str = "bloom_filter_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 5k rows × ≤512 tokens/row ≈ ≤2.5M token cells per Arrow batch —
+        # bounds the k-index expansion matrix (~140 MB peak) per Python worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        # fixture parquet row groups are small; split files so local[N]
+        # actually fans the scan out instead of one 600 MB partition
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(32 * 1024 * 1024)))
         .config("spark.driver.memory",
                 driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -83,10 +83,7 @@ class BlockedBloomSketch:
                 hashing.hash64_i32(values, s ^ 0xA5A5A5A5A5A5A5A5))
 
     def _update(self, state: np.ndarray, pos: np.ndarray) -> None:
-        idx = pos.ravel()
-        words = (idx >> np.uint64(6)).astype(np.int64)
-        vals = np.uint64(1) << (idx & np.uint64(63))
-        hashing.or_reduce_at(state, words, vals)
+        hashing.set_bits(state, pos.ravel(), self.params.m)
 
     def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
         lo, hi = self._two_hashes(np.asarray(values, np.int32), False)

@@ -1,0 +1,1 @@
+from .stream_build import streaming_sketch_build, windowed_event_counts  # noqa: F401

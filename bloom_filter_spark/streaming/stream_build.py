@@ -1,0 +1,93 @@
+"""Structured Streaming incremental sketch build.
+
+The mergeable-sketch algebra makes streaming ingestion trivial: each
+micro-batch builds partial states with the SAME batch operators
+(mapInPandas → merge tree), and ``foreachBatch`` folds the batch's state
+into the running sketch with the associative merge.  After any prefix of
+micro-batches the accumulated state is bit-identical to a batch build over
+the same rows (Bloom/HLL/CMS) — the streaming/batch equivalence test.
+
+The reference is a single-process in-memory library with no streaming
+(SURVEY.md §3); this module is engine-side capability, expressed with stock
+Structured Streaming primitives (file source, foreachBatch, watermarked
+windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import build_sketch
+
+
+class StreamingSketchAccumulator:
+    """Driver-side fold of per-micro-batch sketch states (foreachBatch).
+
+    At cluster scale the fold target would be the checkpoint table
+    (operators/checkpoint.py) — one state row per epoch, merged on read;
+    the in-memory fold here keeps the equivalence test crisp.
+    """
+
+    def __init__(self, sketch, col: str, value_kind: str):
+        self.sketch = sketch
+        self.col = col
+        self.value_kind = value_kind
+        self.state = sketch.empty()
+        self.n_items = 0
+        self.epochs = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        blob, n = build_sketch(batch_df, self.sketch, self.col, self.value_kind)
+        _, st = type(self.sketch).deserialize(blob)
+        self.state = self.sketch.merge(self.state, st)
+        self.n_items += n
+        self.epochs += 1
+
+    def blob(self) -> bytes:
+        return self.sketch.serialize(self.state)
+
+
+def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
+                           sketch, col: str, value_kind: str = "i32_array",
+                           max_files_per_trigger: int = 1):
+    """Run a file-source stream to completion, folding per-batch sketches.
+
+    Returns the accumulator (state, n_items, epochs)."""
+    acc = StreamingSketchAccumulator(sketch, col, value_kind)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    q = (stream.writeStream.outputMode("update")
+         .foreachBatch(acc)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return acc
+
+
+def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation over a file-source stream —
+    the late-data-tolerant streaming analog of a groupBy(window) batch agg.
+    Runs availableNow to completion against a memory sink and returns the
+    result as a DataFrame."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    agg = (stream
+           .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+           .withWatermark("ts_ltz", watermark)
+           .groupBy(F.window("ts_ltz", window), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    name = f"windowed_counts_{abs(id(agg)) % 99999}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT window.start AS window_start, event_type, n, sum_value FROM {name}")

@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count + schema width + order-insensitive value hash (columns sorted by
+name, floats rounded to 9 significant digits).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+                   "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for _, row in df.iterrows():
+        cells = []
+        for v in row:
+            if isinstance(v, float):
+                cells.append(f"{v:.9g}")
+            elif isinstance(v, bool):
+                cells.append(str(bool(v)))
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from bloom_filter_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} ({took:.1f}s, no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems and canon(sdf) != canon(odf):
+            problems.append("value hash mismatch")
+            merged = sdf.reindex(sorted(sdf.columns), axis=1)
+            print(merged.head(3).to_string(), "\n--- oracle ---\n",
+                  odf.reindex(sorted(odf.columns), axis=1).head(3).to_string())
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({took:.1f}s)")
+            failures += 1
+        else:
+            print(f"ok    {name}: rows={len(sdf)} hash match ({took:.1f}s)")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
