@@ -78,10 +78,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------- MinHash LSH
+def _id_type(df: DataFrame) -> str:
+    return df.schema["doc_id"].dataType.simpleString()
+
+
 def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
                         seed: int) -> DataFrame:
     """(doc_id, sig array<bigint>) — vectorized: one shingle-hash per doc-gram
-    row, then n_perm affine re-hashes folded with segmented minimum."""
+    row, then n_perm affine re-hashes folded with segmented minimum.
+    doc_id keeps its native type so pair ordering matches exact-Jaccard's."""
+    id_type = _id_type(df)
     sh = _shingles(df, text_col, n)
     n_perm_b = n_perm
 
@@ -103,9 +109,8 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
                 "sig": [row.astype(np.int64) for row in agg.to_numpy(np.uint64)],
             })
 
-    schema = "doc_id string, sig array<bigint>"
-    partial = sh.select(F.col("doc_id").cast("string").alias("doc_id"), "shingle") \
-                .mapInPandas(sigs, schema)
+    schema = f"doc_id {id_type}, sig array<bigint>"
+    partial = sh.select("doc_id", "shingle").mapInPandas(sigs, schema)
 
     # final min across partitions (a doc's shingles may span partitions)
     def merge_sigs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -144,29 +149,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(df.select(F.col("doc_id").cast("string").alias("doc_id"),
-                                          text_col),
-                                text_col, threshold=0.0, n=n)
+    exact = ngram_jaccard_pairs(df, text_col, threshold=0.0, n=n)
     return (cand.join(exact, ["doc_a", "doc_b"])
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
 
 # ---------------------------------------------------------------- SimHash
-def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 8,
-                  seed: int = 0x51A5_4A54) -> DataFrame:
+def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
+                  n_bands: int = 8, seed: int = 0x51A5_4A54) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
-    Candidate generation: 4 × 16-bit bands of the simhash (pigeonhole: any
-    pair within hamming ≤ 8 is likely to agree on ≥1 band for clustered
-    diffs; exact recall needs ⌈64/(max_hamming+1)⌉ bands — we use the
-    standard 4-band scheme and verify candidates exactly).
+    Candidate generation: n_bands equal slices of the simhash; by pigeonhole
+    any pair with hamming < n_bands agrees on ≥1 band, so recall is EXACT
+    for max_hamming ≤ n_bands-1 (default 8 bands × 8 bits, h ≤ 7 — measured
+    hamming of 0.9-jaccard near-dup docs is 1-5).  At larger corpus sizes
+    8-bit bands collide heavily (n²/256 candidates per band); scale deploys
+    use 16-bit bands with h ≤ 3 or multi-probe — parameterized here.
     """
+    id_type = _id_type(df)
+
     def sim(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            docs = pdf["doc_id"].astype(str)
+            docs = pdf["doc_id"]
             sigs = np.zeros(len(pdf), np.uint64)
             # vectorized per-batch: explode words → weight ±1 per bit
             words = pdf[text_col].str.split(" ")
@@ -182,11 +189,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 8,
             sigs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"doc_id": docs, "simhash": sigs.astype(np.int64)})
 
-    sig = df.select(F.col("doc_id").cast("string"), text_col) \
-            .mapInPandas(sim, "doc_id string, simhash bigint")
+    sig = df.select("doc_id", text_col) \
+            .mapInPandas(sim, f"doc_id {id_type}, simhash bigint")
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
     bands = sig.select("doc_id", "simhash", F.posexplode(F.array(
-        *[F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-          for i in range(4)])).alias("band", "bucket"))
+        *[F.shiftrightunsigned("simhash", i * band_bits).bitwiseAND(F.lit(band_mask))
+          for i in range(n_bands)])).alias("band", "bucket"))
     cand = (bands.alias("x").join(
         bands.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))

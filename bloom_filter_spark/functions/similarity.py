@@ -94,8 +94,8 @@ def hyperplane_signatures(emb: DataFrame, n_bits: int = 16,
     return emb.select(id_col, vec_col).mapInPandas(sign, "id long, bucket bigint")
 
 
-def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 6,
-             n_tables: int = 4, id_col: str = "vec_id",
+def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 4,
+             n_tables: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """ANN top-k: probe only the query's hyperplane buckets (multi-table LSH
     for recall), exact cosine on the candidates.  Recall measured vs brute

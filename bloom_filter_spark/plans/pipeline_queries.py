@@ -35,19 +35,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_TAU)
-    # internal pair orientation is string-ordered; re-orient numerically so
-    # the pair set matches the BIGINT-keyed oracle exactly
-    a = F.col("doc_a").cast("long")
-    b = F.col("doc_b").cast("long")
-    return out.select(F.least(a, b).alias("doc_a"),
-                      F.greatest(a, b).alias("doc_b"), "jaccard")
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_TAU)
 
 
 def q_simhash(spark, sf_dir):
-    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
-    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
-                      F.col("doc_b").cast("long").alias("doc_b"), "hamming")
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
 
 
 # ---------------------------------------------------------------- similarity

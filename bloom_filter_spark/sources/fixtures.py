@@ -32,7 +32,8 @@ SOURCES = [f"src_{i:02d}" for i in range(8)]
 SOURCE_WEIGHTS = [0.45, 0.25, 0.12, 0.08, 0.05, 0.03, 0.015, 0.005]
 N_PROBES = 10_000
 ABSENT_LO, ABSENT_HI = 60_000, 2**31  # vocab < 50_257 ⇒ guaranteed absent
-CHUNK_ROWS = 12_500  # one parquet row group per chunk ⇒ 48 scan splits at sf0.1
+CHUNK_ROWS = 6_250  # one parquet row group per chunk ⇒ 96 scan splits at sf0.1
+                    # (3 full waves on 32 cores; balance matters for scaling)
 
 FIXTURE_ROOT = os.environ.get(
     "SPARK_GRAFT_FIXTURE_ROOT", os.path.join(os.path.dirname(__file__), "..", "..", ".fixtures")
