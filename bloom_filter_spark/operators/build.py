@@ -1,12 +1,26 @@
 """Distributed sketch build — the partial phase of the mergeable UDAF.
 
 Design (SURVEY.md §3.1): the build is expressed so that the *data* never
-shuffles — ``mapInPandas`` folds every input partition into one sketch state
-locally (Arrow batches → numpy, zero per-row Python), emitting a single
-(partition_id, n_items, state) row per partition.  Only those P small state
-rows move through the merge tree (operators/merge.py).  At 100 TB the scan
-stays embarrassingly parallel and the shuffle volume is P × |state|,
-independent of input size.
+shuffles — ``mapInArrow`` folds every input partition into one sketch state
+locally, emitting a single (partition_id, n_items, state) row per partition.
+Only those P small state rows move through the merge tree
+(operators/merge.py).  At 100 TB the scan stays embarrassingly parallel and
+the shuffle volume is P × |state|, independent of input size.
+
+``mapInArrow`` (not mapInPandas) is load-bearing: for array<int32> columns
+the pandas conversion materializes one ndarray object PER ROW, and measured
+on this host the allocation storm makes the exchange anti-scale (4.8 s at
+local[4] → 36.7 s at local[32] for a pass-through).  The Arrow path reads
+the list column's flat values buffer zero-copy — one numpy view per batch.
+
+``build_sketch_preagg`` is the second scale lever: for draws from a modest
+key domain (tokens from a ~50k vocab), a JVM-side partial aggregation
+(explode → groupBy(key).count(), Tungsten hash agg with map-side combine)
+collapses the stream BEFORE it ever reaches Python — the Python workers see
+only (distinct key, weight) pairs (~50k/partition instead of millions), and
+weighted updates preserve exactness for Bloom/HLL (weight-insensitive) and
+CMS/t-digest (weight-additive).  For high-cardinality keys the direct path
+wins (no shuffle at all); the choice is a flag, not a heuristic.
 
 Grouped builds ("one sketch per source") are the skew-prone case — the
 fixture's zipfian source weights put 45% of rows in one group.  The north
@@ -57,6 +71,22 @@ def _update(sketch, state, values, value_kind: str) -> int:
     return len(values)
 
 
+def _arrow_values(col, value_kind: str):
+    """Arrow column → flat numpy values + n (zero-copy where possible)."""
+    import pyarrow as pa
+    if value_kind == "i32_array":
+        # list<int32>: drop nulls, then read the flat values buffer directly
+        if col.null_count:
+            col = col.drop_null()
+        flat = col.flatten()
+        return flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    if col.null_count:
+        col = col.drop_null()
+    if value_kind == "str":
+        return col.to_pylist()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def build_partials(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
                    repartition: int | None = None) -> DataFrame:
     """→ DataFrame(partition_id long, n_items long, state binary), one row per
@@ -65,39 +95,108 @@ def build_partials(df: DataFrame, sketch, col: str, value_kind: str = "i32_array
     if repartition:
         sel = sel.repartition(repartition)
 
-    array_input = value_kind == "i32_array"
-    elem_kind = "i32" if array_input else value_kind
+    elem_kind = "i32" if value_kind == "i32_array" else value_kind
 
-    def partial_fn(it):
+    def partial_fn(batches):
+        import pyarrow as pa
         state = sketch.empty()
         n = 0
-        for pdf in it:
-            vals = _flatten_arrays(pdf["v"]) if array_input else pdf["v"].dropna().to_numpy()
+        for b in batches:
+            vals = _arrow_values(b.column(0), value_kind)
             n += _update(sketch, state, vals, elem_kind)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        yield pd.DataFrame({"partition_id": [pid], "n_items": [n],
-                            "state": [sketch.serialize(state)]})
+        yield pa.RecordBatch.from_pydict({
+            "partition_id": pa.array([pid], pa.int64()),
+            "n_items": pa.array([n], pa.int64()),
+            "state": pa.array([sketch.serialize(state)], pa.binary()),
+        })
 
-    return sel.mapInPandas(partial_fn, PARTIAL_SCHEMA)
+    return sel.mapInArrow(partial_fn, PARTIAL_SCHEMA)
+
+
+def build_sketch_preagg(df: DataFrame, sketch, col: str,
+                        value_kind: str = "i32_array", fanin: int = 64,
+                        shuffle_partitions: int | None = None) -> tuple[bytes, int]:
+    """JVM-pre-aggregated build: explode → Tungsten partial groupBy(key) →
+    weighted sketch update over (distinct key, count) pairs.
+
+    Exact for weight-insensitive sketches (Bloom/blocked-bloom/HLL: a key's
+    multiplicity never matters) and weight-additive ones (CMS counters,
+    t-digest centroid weights).  The Python boundary sees only the distinct
+    domain — for zipfian token streams that is a ~3000× reduction.  n_items
+    still counts every ingested token (sum of weights).
+    """
+    if value_kind == "i32_array":
+        flat = df.select(F.explode(F.col(col)).alias("v"))
+    else:
+        flat = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    counts = flat.groupBy("v").agg(F.count("*").alias("cnt"))
+    if shuffle_partitions:
+        counts = counts.repartition(shuffle_partitions)
+
+    supports_weights = sketch.kind in ("cms", "tdigest")
+    elem_kind = "i32" if value_kind == "i32_array" else value_kind
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        state = sketch.empty()
+        n = 0
+        for b in batches:
+            vals = _arrow_values(b.column(0), elem_kind if elem_kind != "i32" else "i32")
+            w = b.column(1).to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                continue
+            if sketch.kind == "cms":
+                getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
+                    state, vals, weights=w)
+            elif sketch.kind == "tdigest":
+                state.vmin = min(state.vmin, float(np.min(vals)))
+                state.vmax = max(state.vmax, float(np.max(vals)))
+                state.n += int(w.sum())
+                means = np.concatenate([state.means, np.asarray(vals, np.float64)])
+                weights = np.concatenate([state.weights, w.astype(np.float64)])
+                state.means, state.weights = sketch._compress(means, weights)
+            else:  # weight-insensitive: bloom / blocked_bloom / hll
+                _update(sketch, state, vals, elem_kind)
+            n += int(w.sum())
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pa.RecordBatch.from_pydict({
+            "partition_id": pa.array([pid], pa.int64()),
+            "n_items": pa.array([n], pa.int64()),
+            "state": pa.array([sketch.serialize(state)], pa.binary()),
+        })
+
+    if not supports_weights and sketch.kind not in ("bloom", "blocked_bloom", "hll"):
+        raise ValueError(f"pre-aggregated build unsupported for {sketch.kind}")
+    from .merge import merge_partials_collect
+    partials = counts.mapInArrow(partial_fn, PARTIAL_SCHEMA)
+    return merge_partials_collect(partials, sketch)
 
 
 def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
                  repartition: int | None = None, fanin: int = 64,
-                 checkpoint=None, sketch_id: str | None = None) -> tuple[bytes, int]:
-    """Full build: partials → merge tree → (final state blob, n_items).
+                 checkpoint=None, sketch_id: str | None = None,
+                 tree_merge: bool | None = None) -> tuple[bytes, int]:
+    """Full build: partials → merge → (final state blob, n_items).
 
-    If ``checkpoint`` (a SketchCheckpoint) and ``sketch_id`` are given, the
-    partial states and the final state are persisted with lineage before
-    returning — making the build resumable (operators/checkpoint.py).
+    Merge strategy: driver-side fold by default (one job — the partials are
+    one small row per partition); ``tree_merge=True`` forces the fanin-ary
+    applyInPandas tree for huge partial fleets (P ≫ fanin) or oversized
+    states.  If ``checkpoint`` and ``sketch_id`` are given, partial and
+    final states are persisted with lineage — resumable builds.
     """
+    from .merge import merge_partials_collect
     partials = build_partials(df, sketch, col, value_kind, repartition)
     if checkpoint is not None and sketch_id is not None:
         partials = checkpoint.write_partials(sketch_id, sketch, partials,
                                              input_desc=_describe_input(df))
-    final = merge_partials_tree(partials, sketch, fanin=fanin)
-    row = final.collect()[0]
-    blob, n_items = bytes(row.state), int(row.n_items)
+    if tree_merge:
+        row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
+        blob, n_items = bytes(row.state), int(row.n_items)
+    else:
+        blob, n_items = merge_partials_collect(partials, sketch)
     if checkpoint is not None and sketch_id is not None:
         checkpoint.write_final(sketch_id, sketch, blob, n_items)
     return blob, n_items

@@ -46,9 +46,26 @@ def merge_blobs(sketch, blobs: list, n_items: int) -> tuple[bytes, int]:
     return sketch.serialize(acc), int(n_items)
 
 
+def merge_partials_collect(partials: DataFrame, sketch) -> tuple[bytes, int]:
+    """Driver-side fold of the partial states — ONE Spark job.
+
+    Correct choice when P × |state| is small (a few hundred MB-scale blobs):
+    the tree's extra persist/count/shuffle jobs cost ~0.5-1 s of fixed
+    latency each, which dominates short builds and caps scaling efficiency.
+    SURVEY.md §3.1: 'final merge (single task or driver)'.
+    """
+    rows = partials.collect()
+    if not rows:
+        return sketch.serialize(sketch.empty()), 0
+    return merge_blobs(sketch, [r.state for r in rows],
+                       sum(r.n_items for r in rows))
+
+
 def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFrame:
     """Reduce a partials DataFrame to a single (partition_id=0, n_items, state)
-    row via a fanin-ary tree of applyInPandas merges."""
+    row via a fanin-ary tree of applyInPandas merges.  Use for LARGE fleets
+    of partials (P ≫ fanin) where a driver collect would be the bottleneck;
+    otherwise prefer merge_partials_collect."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
         return pd.DataFrame({"partition_id": [int(pdf["grp"].iloc[0])],
