@@ -215,28 +215,65 @@ GROUPED_SCHEMA = "group string, n_items long, state binary"
 
 def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
                   value_kind: str = "i32_array", n_salts: int = 16,
-                  salt_on: str | None = None) -> DataFrame:
+                  salt_on: str | None = None,
+                  num_partitions: int | None = None) -> DataFrame:
     """One sketch per group with explicit salt-bucketed two-phase aggregation.
 
-    Phase 1 groups on (group, salt) so the zipfian-heavy group fans out over
-    ``n_salts`` tasks; phase 2 merges the n_salts small states per group.
+    Phase 1: salted ``repartition(group, salt)`` fans the zipfian-heavy group
+    over ``n_salts`` tasks, then an Arrow-native pass builds one partial per
+    group seen in each partition (dictionary-encoded group labels, tokens
+    bucketed by np.repeat of the label codes — no pandas object columns, no
+    per-row Python).  Phase 2 merges the small per-group states.
     → DataFrame(group string, n_items long, state binary).
     """
     array_input = value_kind == "i32_array"
     elem_kind = "i32" if array_input else value_kind
-    salt_src = F.xxhash64(F.col(salt_on)) if salt_on else F.xxhash64(F.monotonically_increasing_id())
+    salt_src = (F.xxhash64(F.col(salt_on)) if salt_on
+                else F.xxhash64(F.monotonically_increasing_id()))
     base = df.select(
         F.col(group_col).cast("string").alias("group"),
         F.pmod(salt_src, F.lit(n_salts)).alias("salt"),
         F.col(col).alias("v"),
     )
+    shuffled = base.repartition(num_partitions, "group", "salt") if num_partitions \
+        else base.repartition("group", "salt")
 
-    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
-        state = sketch.empty()
-        vals = _flatten_arrays(pdf["v"]) if array_input else pdf["v"].dropna().to_numpy()
-        n = _update(sketch, state, vals, elem_kind)
-        return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
-                             "state": [sketch.serialize(state)]})
+    def phase1(batches):
+        import pyarrow as pa
+        states: dict[str, tuple] = {}
+        for b in batches:
+            enc = b.column(0).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            groups = enc.dictionary.to_pylist()
+            vcol = b.column(2)
+            if array_input:
+                import pyarrow.compute as pc
+                # list_value_length is null for null rows; flatten() skips
+                # them, so zero-fill keeps owner/flat aligned
+                lengths = pc.list_value_length(vcol).fill_null(0) \
+                    .to_numpy(zero_copy_only=False)
+                flat = vcol.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.int32, copy=False)
+                owner = np.repeat(codes, lengths)
+            else:
+                flat = (vcol.to_pylist() if elem_kind == "str"
+                        else vcol.to_numpy(zero_copy_only=False))
+                owner = codes
+            for gi, gname in enumerate(groups):
+                mask = owner == gi
+                if elem_kind == "str":
+                    vals = [v for v, m in zip(flat, mask) if m and v is not None]
+                else:
+                    vals = flat[mask]
+                if gname not in states:
+                    states[gname] = [sketch.empty(), 0]
+                states[gname][1] += _update(sketch, states[gname][0], vals, elem_kind)
+        yield pa.RecordBatch.from_pydict({
+            "group": pa.array(list(states.keys()), pa.string()),
+            "n_items": pa.array([v[1] for v in states.values()], pa.int64()),
+            "state": pa.array([sketch.serialize(v[0]) for v in states.values()],
+                              pa.binary()),
+        })
 
     def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
         from .merge import merge_blobs
@@ -244,7 +281,7 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
         return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
                              "state": [blob]})
 
-    partials = base.groupBy("group", "salt").applyInPandas(phase1, GROUPED_SCHEMA)
+    partials = shuffled.mapInArrow(phase1, GROUPED_SCHEMA)
     return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
 
 
