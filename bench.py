@@ -73,6 +73,19 @@ def main() -> None:
     extra["bloom_measured_fpr"] = fp_cnt / 10_000
     extra["bloom_configured_p"] = 0.01
 
+    def probe_full_stream():
+        # membership of EVERY ingested token — the Exist() hot loop at scale
+        from bloom_filter_spark.operators import membership_scan
+        agg = (membership_scan(tokens, "tokens", spark, blob, "bloom")
+               .agg(F.sum("n_probed").alias("n"), F.sum("n_member").alias("hits"))
+               .collect()[0])
+        assert agg.n == n_tokens and agg.hits == n_tokens  # zero FN, full stream
+        return agg.hits
+
+    timed("bloom_probe_full_stream", probe_full_stream)
+    extra["bloom_probe_tokens_per_sec"] = round(
+        n_tokens / results["bloom_probe_full_stream"], 0)
+
     timed("hll_build", lambda: build_sketch(
         tokens, HLLSketch(HLLParams(b=14)), "tokens", "i32_array"))
     timed("cms_build", lambda: build_sketch(

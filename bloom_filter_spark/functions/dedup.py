@@ -91,26 +91,33 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
     sh = _shingles(df, text_col, n)
     n_perm_b = n_perm
 
-    def sigs(it):
+    def sigs(batches):
+        import pyarrow as pa
         rng = np.random.default_rng(seed)
         a = rng.integers(1, (1 << 61) - 1, n_perm_b, dtype=np.uint64) | np.uint64(1)
         b = rng.integers(0, (1 << 61) - 1, n_perm_b, dtype=np.uint64)
-        for pdf in it:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            h = hashing.hash64_str(pdf["shingle"].to_numpy(), seed)
+            ids = batch.column(0)
+            h = hashing.hash64_str(np.asarray(batch.column(1).to_pylist()), seed)
             with np.errstate(over="ignore"):
                 m = (h[:, None] * a[None, :] + b[None, :])  # (rows, n_perm)
-            out = pd.DataFrame({"doc_id": pdf["doc_id"],
-                                **{f"m{j}": m[:, j] for j in range(n_perm_b)}})
-            agg = out.groupby("doc_id", sort=False).min()  # partial min per doc
-            yield pd.DataFrame({
-                "doc_id": agg.index,
-                "sig": [row.astype(np.int64) for row in agg.to_numpy(np.uint64)],
-            })
+            # a doc's shingles are contiguous (explode preserves row order),
+            # so segmented minimum via reduceat — no pandas groupby
+            enc = ids.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            seg_ids = enc.dictionary.take(pa.array(codes[starts]))
+            yield pa.RecordBatch.from_arrays(
+                [seg_ids.combine_chunks() if hasattr(seg_ids, "combine_chunks") else seg_ids,
+                 pa.array(list(mins.astype(np.int64)),
+                          pa.list_(pa.int64()))],
+                names=["doc_id", "sig"])
 
     schema = f"doc_id {id_type}, sig array<bigint>"
-    partial = sh.select("doc_id", "shingle").mapInPandas(sigs, schema)
+    partial = sh.select("doc_id", "shingle").mapInArrow(sigs, schema)
 
     # final min across partitions (a doc's shingles may span partitions)
     def merge_sigs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -149,8 +156,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(df, text_col, threshold=0.0, n=n)
-    return (cand.join(exact, ["doc_a", "doc_b"])
+    # exact-Jaccard verify restricted to the candidate pairs (never the full
+    # co-occurrence join): broadcast the small candidate set through the
+    # shingle table twice, count intersections, join sizes
+    sh = _shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    left = (F.broadcast(cand)
+            .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (left.join(sh_b, (F.col("shingle") == F.col("sh_b"))
+                       & (F.col("doc_b") == F.col("b_id")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 

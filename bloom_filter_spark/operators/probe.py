@@ -75,6 +75,51 @@ def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32"):
     return point
 
 
+def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
+                    value_kind: str = "i32_array"):
+    """Bulk membership over a whole table — the Exist() hot loop at scale.
+
+    mapInArrow over the array column: the token stream never explodes into
+    per-row records (which multiplies exchange row count ~250×); each Arrow
+    batch's flat values buffer is probed in one vectorized pass.  Returns a
+    one-row-per-partition DataFrame (n_probed, n_member); aggregate for
+    totals.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    bc = spark.sparkContext.broadcast(blob)
+    key = _cache_key(blob, kind)
+
+    def scan(batches):
+        import pyarrow as pa
+        sk, state = None, None
+        n = hits = 0
+        for b in batches:
+            if sk is None:
+                sk, state = _get(bc, key)
+            c = b.column(0)
+            if value_kind == "i32_array":
+                if c.null_count:
+                    c = c.drop_null()
+                vals = c.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.int32, copy=False)
+                member = sk.contains_i32(state, vals)
+            elif value_kind == "str":
+                vals = c.to_pylist()
+                member = sk.contains_str(state, [v for v in vals if v is not None])
+            else:
+                vals = c.to_numpy(zero_copy_only=False)
+                member = sk.contains_i32(state, np.asarray(vals, np.int32))
+            n += len(member)
+            hits += int(member.sum())
+        yield pa.RecordBatch.from_pydict({
+            "n_probed": pa.array([n], pa.int64()),
+            "n_member": pa.array([hits], pa.int64()),
+        })
+
+    return df.select(col).mapInArrow(scan, "n_probed long, n_member long")
+
+
 def rank_udf(spark: SparkSession, blob: bytes, kind: str):
     """→ pandas_udf(DoubleType): estimated normalized rank (KLL / t-digest)."""
     bc = spark.sparkContext.broadcast(blob)

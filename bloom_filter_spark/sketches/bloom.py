@@ -110,11 +110,25 @@ class BloomSketch:
 
     # -- probe ------------------------------------------------------------
     def _contains_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
+        """k vectorized probe passes with an AND accumulator (no (N,k)
+        matrix); the reference's per-key short-circuit (filter.go:56-58) is
+        replaced by skipping later passes once the accumulator is all-False."""
         p = self.params
-        idx = hashing.km_indices(h, p.m, p.k)
-        words = state[(idx >> np.uint64(6)).astype(np.int64)]
-        hit = (words >> (idx & np.uint64(63))) & np.uint64(1)
-        return hit.all(axis=1)
+        mask = np.uint64(p.m - 1)
+        h1, h2 = hashing.split_h1_h2(h)
+        alive = np.ones(h.size, dtype=bool)
+        idx = np.empty(h.size, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(p.k):
+                np.multiply(h2, np.uint64(i), out=idx)
+                np.add(idx, h1, out=idx)
+                np.bitwise_and(idx, mask, out=idx)
+                words = state[(idx >> np.uint64(6)).astype(np.int64)]
+                hit = ((words >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+                alive &= hit
+                if not alive.any():
+                    break
+        return alive
 
     def contains_i32(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
         return self._contains_hashes(state, hashing.hash64_i32(values, self.params.seed))

@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the scale contract, enforced.
+
+These lock the Catalyst behaviors the engine's 100 TB story depends on:
+filter pushdown reaching the parquet scan, column pruning (narrow
+ReadSchema) in front of every UDF, broadcast joins for dimensions, and
+map-side partial aggregation in the pre-aggregated build.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.select("l_orderkey", "l_quantity").where(F.col("l_shipdate") <= "1996-01-01")
+    p = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "l_extendedprice" not in p  # pruned
+
+
+def test_build_scan_reads_only_token_column(spark, sf_small):
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet").select("tokens")
+    p = _plan(toks)
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "tokens:array<int>" in read_schema
+    for unwanted in ("doc_id", "source", "n_tok"):
+        assert unwanted not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    from bloom_filter_spark.functions import relational
+    q = relational.top_customer_per_nation(spark, "/root/testdata/sf0.001")
+    p = _plan(q)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_preagg_has_mapside_partial_aggregation(spark, sf_small):
+    flat = (spark.read.parquet(f"{sf_small}/tokens.parquet")
+            .select(F.explode("tokens").alias("v")))
+    counts = flat.groupBy("v").agg(F.count("*").alias("cnt"))
+    p = _plan(counts)
+    # two HashAggregates (partial below the exchange, final above)
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(v" in p
+
+
+def test_probe_plan_is_single_stage(spark, sf_small):
+    """Probe = scan → ArrowEvalPython → filter; no shuffle anywhere."""
+    from bloom_filter_spark.operators import build_sketch, membership_udf
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    blob, _ = build_sketch(toks.limit(100), BloomSketch(BloomParams(n=1024, p=0.01)),
+                           "tokens", "i32_array")
+    probe = membership_udf(spark, blob, "bloom", "i32")
+    q = (spark.read.parquet(f"{sf_small}/probes_present.parquet")
+         .where(probe(F.col("token"))))
+    p = _plan(q)
+    assert "Exchange" not in p  # no shuffle in the probe path
+    assert "ArrowEvalPython" in p or "PythonUDF" in p
+
+
+def test_direct_build_has_no_data_shuffle(spark, sf_small):
+    """The whole build plan: scan → mapInArrow; the only post-build movement
+    is the partials' collect."""
+    from bloom_filter_spark.operators import build_partials
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    partials = build_partials(toks, BloomSketch(BloomParams(n=1024, p=0.01)),
+                              "tokens", "i32_array")
+    p = _plan(partials)
+    assert "Exchange" not in p
+    assert "MapInArrow" in p or "mapInArrow" in p.lower()
