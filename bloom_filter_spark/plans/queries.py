@@ -17,7 +17,7 @@ value hash, columns sorted by name):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import (
     build_grouped, build_grouped_single_writer, build_sketch,
@@ -303,6 +303,50 @@ def q_streaming_bloom(spark, sf_dir):
         "epochs bigint, streaming_equals_batch boolean")
 
 
+def q_tdigest_rank_probe(spark, sf_dir):
+    """Rank estimates for every distinct n_tok value via the broadcast rank
+    UDF; each must sit within the digest's rank-error envelope of the exact
+    mid-rank — (n_probed, n_within) with n_within == n_probed."""
+    from ..operators import rank_udf
+    blob, n = _blob(spark, sf_dir, "td_ntok")
+    toks = _tokens(spark, sf_dir)
+    counts = toks.groupBy("n_tok").agg(F.count("*").alias("c"))
+    total = toks.count()
+    w = Window.orderBy("n_tok")
+    ranked = counts.withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ranked = ranked.withColumn(
+        "mid_rank", (F.col("cum") - F.col("c") / 2.0) / F.lit(float(total)))
+    rank = rank_udf(spark, blob, "tdigest")
+    est = ranked.withColumn("est", rank(F.col("n_tok").cast("double")))
+    agg = est.agg(
+        F.count("*").alias("n"),
+        F.sum((F.abs(F.col("est") - F.col("mid_rank")) <= 0.02).cast("long"))
+         .alias("within")).collect()[0]
+    return spark.createDataFrame([(int(agg.n), int(agg.within))],
+                                 "n_probed bigint, n_within bigint")
+
+
+def q_streaming_stateful_sources(spark, sf_dir):
+    """applyInPandasWithState running per-source sketches over a 4-file
+    stream — exact doc counts per source + HLL estimate within bound."""
+    import tempfile
+
+    from ..streaming import running_source_sketches
+    toks = _tokens(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="bfs_stateful_")
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    got = running_source_sketches(spark, src, toks.schema, b=12)
+    exact = (toks.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")))
+    joined = got.join(exact, "source")
+    bound = 5 * 1.04 / (2 ** 6)
+    return joined.select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"),
+        (F.abs(F.col("distinct_estimate") - F.col("d")) <= bound * F.col("d"))
+        .alias("within_bound"))
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -339,6 +383,8 @@ SKETCH_QUERIES = {
     "kll_token_value_quantiles": q_kll_token_value_quantiles,
     "bloom_checkpoint_resume": q_bloom_checkpoint_resume,
     "streaming_bloom_equals_batch": q_streaming_bloom,
+    "tdigest_rank_probe": q_tdigest_rank_probe,
+    "streaming_stateful_sources": q_streaming_stateful_sources,
 }
 
 
@@ -390,6 +436,15 @@ def sketch_oracles() -> dict[str, str]:
         """,
         "streaming_bloom_equals_batch":
             "SELECT CAST(4 AS BIGINT) AS epochs, TRUE AS streaming_equals_batch",
+        "tdigest_rank_probe": f"""
+            SELECT count(DISTINCT n_tok) AS n_probed,
+                   count(DISTINCT n_tok) AS n_within FROM {tok}
+        """,
+        "streaming_stateful_sources": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS within_bound
+            FROM {tok} GROUP BY source
+        """,
     }
 
 

@@ -56,3 +56,21 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in exact.collect()}
     assert g == e and len(g) > 0
+
+
+def test_stateful_running_source_sketches(spark, multi_file_tokens):
+    from pyspark.sql import functions as F
+
+    from bloom_filter_spark.sketches import HLLParams, HLLSketch
+    from bloom_filter_spark.streaming.stateful import running_source_sketches
+    src, schema = multi_file_tokens
+    got = {r.source: r for r in running_source_sketches(spark, src, schema, b=12).collect()}
+    df = spark.read.parquet(src)
+    exact = {r.source: r for r in
+             df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    docs = {r.source: r["count"] for r in df.groupBy("source").count().collect()}
+    assert set(got) == set(exact)
+    for s, row in got.items():
+        assert row.n_docs == docs[s]
+        assert abs(row.distinct_estimate - exact[s].d) <= 5 * (1.04 / 2**6) * exact[s].d
