@@ -285,6 +285,76 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
     return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
 
 
+def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
+                         value_kind: str = "i32_array") -> DataFrame:
+    """Grouped build through a JVM partial aggregation — the skew-proof path
+    for modest key domains.
+
+    explode → groupBy(group, key).count(): the shuffle keys are (group, key)
+    PAIRS, uniformly hashed, so a 45 %-heavy group spreads over the whole
+    cluster with no salting at all; Python then sees only the per-group
+    distinct domain with weights.  Exact for weight-insensitive sketches
+    (Bloom/HLL) and weight-additive ones (CMS/t-digest).
+    → DataFrame(group string, n_items long, state binary).
+    """
+    if sketch.kind not in ("bloom", "blocked_bloom", "hll", "cms", "tdigest"):
+        raise ValueError(f"pre-aggregated grouped build unsupported for {sketch.kind}")
+    elem_kind = "i32" if value_kind == "i32_array" else value_kind
+    v = F.explode(F.col(col)) if value_kind == "i32_array" else F.col(col)
+    flat = df.select(F.col(group_col).cast("string").alias("group"), v.alias("v"))
+    counts = flat.groupBy("group", "v").agg(F.count("*").alias("cnt"))
+
+    def phase1(batches):
+        import pyarrow as pa
+        states: dict[str, list] = {}
+        for b in batches:
+            enc = b.column(0).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            groups = enc.dictionary.to_pylist()
+            vals_all = (b.column(1).to_pylist() if elem_kind == "str"
+                        else b.column(1).to_numpy(zero_copy_only=False))
+            w_all = b.column(2).to_numpy(zero_copy_only=False)
+            for gi, gname in enumerate(groups):
+                mask = codes == gi
+                if elem_kind == "str":
+                    vals = [x for x, m_ in zip(vals_all, mask) if m_]
+                else:
+                    vals = vals_all[mask]
+                w = w_all[mask]
+                if gname not in states:
+                    states[gname] = [sketch.empty(), 0]
+                st, _ = states[gname][0], None
+                if sketch.kind == "cms":
+                    getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
+                        st, vals, weights=w)
+                elif sketch.kind == "tdigest":
+                    arr = np.asarray(vals, np.float64)
+                    st.vmin = min(st.vmin, float(arr.min()))
+                    st.vmax = max(st.vmax, float(arr.max()))
+                    st.n += int(w.sum())
+                    means = np.concatenate([st.means, arr])
+                    weights = np.concatenate([st.weights, w.astype(np.float64)])
+                    st.means, st.weights = sketch._compress(means, weights)
+                else:
+                    _update(sketch, st, vals, elem_kind)
+                states[gname][1] += int(w.sum())
+        yield pa.RecordBatch.from_pydict({
+            "group": pa.array(list(states.keys()), pa.string()),
+            "n_items": pa.array([s[1] for s in states.values()], pa.int64()),
+            "state": pa.array([sketch.serialize(s[0]) for s in states.values()],
+                              pa.binary()),
+        })
+
+    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .merge import merge_blobs
+        blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
+        return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
+                             "state": [blob]})
+
+    partials = counts.mapInArrow(phase1, GROUPED_SCHEMA)
+    return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
+
+
 def build_grouped_single_writer(df: DataFrame, kind: str, params, group_col: str,
                                 col: str, value_kind: str = "str") -> DataFrame:
     """Single-writer grouped build for non-mergeable sketches (cuckoo).

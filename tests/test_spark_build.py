@@ -151,3 +151,23 @@ def test_mismatched_params_merge_refused(spark, tokens_df):
     both = a.union(b)
     with pytest.raises(Exception, match="different params|PythonException|refusing"):
         merge_partials_tree(both, BloomSketch(BloomParams(n=1000, p=0.01))).collect()
+
+
+def test_grouped_paths_produce_identical_states(spark, tokens_df):
+    """Salted two-phase and JVM-preagg grouped builds are bit-identical."""
+    from bloom_filter_spark.operators import build_grouped_preagg
+    sk = HLLSketch(HLLParams(b=12))
+    a = {r.group: bytes(r.state) for r in build_grouped(
+        tokens_df, sk, "source", "tokens", "i32_array",
+        n_salts=8, salt_on="doc_id").collect()}
+    b = {r.group: bytes(r.state) for r in build_grouped_preagg(
+        tokens_df, sk, "source", "tokens").collect()}
+    assert a == b
+
+
+def test_preagg_direct_identical_cms(spark, tokens_df):
+    from bloom_filter_spark.operators import build_sketch_preagg
+    sk = CMSSketch(CMSParams(eps=0.001, delta=0.01))
+    direct, n1 = build_sketch(tokens_df, sk, "tokens", "i32_array")
+    pre, n2 = build_sketch_preagg(tokens_df, sk, "tokens", "i32_array")
+    assert direct == pre and n1 == n2
