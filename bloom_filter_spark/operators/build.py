@@ -135,7 +135,7 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
     if shuffle_partitions:
         counts = counts.repartition(shuffle_partitions)
 
-    supports_weights = sketch.kind in ("cms", "tdigest")
+    supports_weights = sketch.kind in ("cms", "tdigest", "kll")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
 
     def partial_fn(batches):
@@ -150,6 +150,8 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
             if sketch.kind == "cms":
                 getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
                     state, vals, weights=w)
+            elif sketch.kind == "kll":
+                sketch.update_weighted(state, np.asarray(vals, np.float64), w)
             elif sketch.kind == "tdigest":
                 state.vmin = min(state.vmin, float(np.min(vals)))
                 state.vmax = max(state.vmax, float(np.max(vals)))

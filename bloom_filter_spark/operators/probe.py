@@ -47,6 +47,11 @@ def membership_udf(spark: SparkSession, blob: bytes, kind: str, key_kind: str = 
         def probe(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
             return pd.Series(sk.contains_i32(state, s.to_numpy(np.int32, na_value=0)))
+    elif key_kind == "i64":
+        @F.pandas_udf(BooleanType())
+        def probe(s: pd.Series) -> pd.Series:
+            sk, state = _get(bc, key)
+            return pd.Series(sk.contains_i64(state, s.to_numpy(np.int64, na_value=0)))
     elif key_kind == "str":
         @F.pandas_udf(BooleanType())
         def probe(s: pd.Series) -> pd.Series:

@@ -105,6 +105,9 @@ class BloomSketch:
     def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
         self._update_hashes(state, hashing.hash64_i32(values, self.params.seed))
 
+    def update_i64(self, state: np.ndarray, values: np.ndarray) -> None:
+        self._update_hashes(state, hashing.hash64_i64(values, self.params.seed))
+
     def update_str(self, state: np.ndarray, values) -> None:
         self._update_hashes(state, hashing.hash64_str(values, self.params.seed))
 
@@ -132,6 +135,9 @@ class BloomSketch:
 
     def contains_i32(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
         return self._contains_hashes(state, hashing.hash64_i32(values, self.params.seed))
+
+    def contains_i64(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        return self._contains_hashes(state, hashing.hash64_i64(values, self.params.seed))
 
     def contains_str(self, state: np.ndarray, values) -> np.ndarray:
         return self._contains_hashes(state, hashing.hash64_str(values, self.params.seed))
