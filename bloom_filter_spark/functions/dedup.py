@@ -176,6 +176,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                      id_b: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, cluster_id)
+    with cluster_id = min doc id in the component; the keep-one dedup policy
+    is then "keep doc_id == cluster_id".
+
+    Distributed label propagation: iterate min-label exchange along edges
+    until a fixed point (diameter-bounded; near-dup components are tiny, so
+    a handful of rounds).  No driver-side collection of the graph.
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+             .distinct().cache())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.b == labels.node)
+                .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(prop, labels.node == prop.a, "left")
+                      .select("node", F.least(
+                          F.col("label"),
+                          F.coalesce(F.col("nbr_label"), F.col("label"))
+                      ).alias("label")).cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------- SimHash
 def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
                   n_bands: int = 8, seed: int = 0x51A5_4A54) -> DataFrame:

@@ -299,7 +299,7 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
     (Bloom/HLL) and weight-additive ones (CMS/t-digest).
     → DataFrame(group string, n_items long, state binary).
     """
-    if sketch.kind not in ("bloom", "blocked_bloom", "hll", "cms", "tdigest"):
+    if sketch.kind not in ("bloom", "blocked_bloom", "hll", "cms", "tdigest", "kll"):
         raise ValueError(f"pre-aggregated grouped build unsupported for {sketch.kind}")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
     v = F.explode(F.col(col)) if value_kind == "i32_array" else F.col(col)
@@ -329,6 +329,8 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
                 if sketch.kind == "cms":
                     getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
                         st, vals, weights=w)
+                elif sketch.kind == "kll":
+                    sketch.update_weighted(st, np.asarray(vals, np.float64), w)
                 elif sketch.kind == "tdigest":
                     arr = np.asarray(vals, np.float64)
                     st.vmin = min(st.vmin, float(arr.min()))

@@ -8,9 +8,11 @@ Cormode & Muthukrishnan 2005: d×w int64 counter matrix,
   overestimate ≤ eps·N with probability ≥ 1-delta.
   merge = element-wise + (associative, commutative).
 
-Row hashes are the same splitmix64 mixer with per-row derived seeds.
-Updates are vectorized with np.bincount per row (one pass per row, no
-per-item Python).
+Row indices derive from ONE 64-bit hash via the Kirsch–Mitzenmacher
+expansion (idx_j = (h1 + j·h2) mod w — the same argument the reference's
+Bloom filter uses, /root/reference/filter/hash.go:5-14; K-M 2006 shows the
+ε-δ analysis survives the derived family), so a batch costs one mixer pass
+instead of d.  Updates are vectorized with np.bincount per row.
 """
 
 from __future__ import annotations
@@ -46,20 +48,27 @@ class CMSSketch:
 
     def __init__(self, params: CMSParams):
         self.params = params
-        self._row_seeds = [params.seed ^ hashing.mix_seed(1000 + j).item() for j in range(params.d)]
 
     def empty(self) -> np.ndarray:
         return np.zeros((self.params.d, self.params.w), dtype=np.int64)
 
-    def _row_idx(self, values, j: int, is_str: bool) -> np.ndarray:
-        h = (hashing.hash64_str(values, self._row_seeds[j]) if is_str
-             else hashing.hash64_i32(np.asarray(values, np.int32), self._row_seeds[j]))
-        return (h % np.uint64(self.params.w)).astype(np.int64)
+    def _hash(self, values, is_str: bool) -> np.ndarray:
+        return (hashing.hash64_str(values, self.params.seed) if is_str
+                else hashing.hash64_i32(np.asarray(values, np.int32),
+                                        self.params.seed))
+
+    def _row_idx_from(self, h: np.ndarray, j: int) -> np.ndarray:
+        h1, h2 = hashing.split_h1_h2(h)
+        with np.errstate(over="ignore"):
+            mixed = h1 + np.uint64(j) * h2
+        return (mixed % np.uint64(self.params.w)).astype(np.int64)
 
     def _update(self, state, values, is_str: bool, weights=None) -> None:
+        h = self._hash(values, is_str)
         for j in range(self.params.d):
-            idx = self._row_idx(values, j, is_str)
-            state[j] += np.bincount(idx, weights=weights, minlength=self.params.w).astype(np.int64)
+            idx = self._row_idx_from(h, j)
+            state[j] += np.bincount(idx, weights=weights,
+                                    minlength=self.params.w).astype(np.int64)
 
     def update_i32(self, state, values, weights=None) -> None:
         self._update(state, values, False, weights)
@@ -67,15 +76,16 @@ class CMSSketch:
     def update_str(self, state, values, weights=None) -> None:
         self._update(state, values, True, weights)
 
-    def point_i32(self, state, values) -> np.ndarray:
-        ests = np.stack([state[j, self._row_idx(values, j, False)]
+    def _point(self, state, h: np.ndarray) -> np.ndarray:
+        ests = np.stack([state[j, self._row_idx_from(h, j)]
                          for j in range(self.params.d)])
         return ests.min(axis=0)
 
+    def point_i32(self, state, values) -> np.ndarray:
+        return self._point(state, self._hash(values, False))
+
     def point_str(self, state, values) -> np.ndarray:
-        ests = np.stack([state[j, self._row_idx(values, j, True)]
-                         for j in range(self.params.d)])
-        return ests.min(axis=0)
+        return self._point(state, self._hash(values, True))
 
     def merge(self, a, b) -> np.ndarray:
         return a + b

@@ -136,3 +136,16 @@ def test_string_keys_doc_ids():
     assert sk.contains_str(state, docs).all()
     ghosts = [f"ghost_{i}" for i in range(5000)]
     assert sk.contains_str(state, ghosts).mean() <= 0.01
+
+
+def test_large_m_fallback_path():
+    # m beyond the packbits threshold exercises the bitwise_or.at branch
+    from bloom_filter_spark.core import hashing as H
+    params = BloomParams(n=30_000_000, p=0.01)  # m = 2^29 > 2^27 threshold
+    assert params.m > H._PACKBITS_MAX_BITS
+    sk = BloomSketch(params)
+    state = sk.empty()
+    vals = np.arange(50_000, dtype=np.int32)
+    sk.update_i32(state, vals)
+    assert sk.contains_i32(state, vals).all()
+    assert sk.contains_i32(state, np.arange(60_000, 80_000, dtype=np.int32)).mean() <= 0.01

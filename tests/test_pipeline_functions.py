@@ -192,3 +192,25 @@ def test_repartition_by_quantiles_balances_skew(spark):
     # zipf point masses force some imbalance, but no partition may exceed
     # ~3x the mean (hash-partition on the raw value gives >5x)
     assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+
+
+def test_near_dup_clusters(spark):
+    from bloom_filter_spark.functions.dedup import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_near_dup_clusters_on_real_pairs(spark, docs, exact_pairs):
+    from bloom_filter_spark.functions.dedup import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in exact_pairs], "doc_a long, doc_b long")
+    clusters = near_dup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # every cluster id is the min of its members
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
