@@ -100,6 +100,10 @@ def main() -> None:
         tokens, KLLSketch(KLLParams(k=200)), "tokens", "i32_array"))
     timed("tdigest_build_ntok", lambda: build_sketch(
         tokens, TDigestSketch(TDigestParams(200)), "n_tok", "f64"))
+    from bloom_filter_spark.operators import build_sketch_preagg
+    timed("bloom_build_preagg", lambda: build_sketch_preagg(
+        tokens, BloomSketch(BloomParams(n=65_536, p=0.01)), "tokens", "i32_array"),
+        repeats=2)
     timed("hll_grouped_by_source", lambda: build_grouped(
         tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
         n_salts=cpus, salt_on="doc_id").collect())

@@ -5,4 +5,4 @@ cosine), similarity search (brute-force + LSH-bucketed ANN), text analysis
 multimodal binary-column plumbing.
 """
 
-from . import dedup, multimodal, relational, similarity, textstats  # noqa: F401
+from . import dedup, joins, multimodal, relational, similarity, textstats  # noqa: F401

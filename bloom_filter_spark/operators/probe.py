@@ -80,6 +80,26 @@ def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32"):
     return point
 
 
+def register_sql_probes(spark: SparkSession, prefix: str, blob: bytes, kind: str,
+                        key_kind: str = "i32") -> None:
+    """Expose a sketch's probe surface to Spark SQL:
+
+        register_sql_probes(spark, "tok", blob, "bloom")
+        spark.sql("SELECT * FROM t WHERE tok_contains(token)")
+
+    Registers <prefix>_contains (membership kinds), <prefix>_count (cms) or
+    <prefix>_rank (kll/tdigest) as session SQL functions."""
+    if kind in ("bloom", "blocked_bloom", "cuckoo"):
+        spark.udf.register(f"{prefix}_contains",
+                           membership_udf(spark, blob, kind, key_kind))
+    elif kind == "cms":
+        spark.udf.register(f"{prefix}_count", cms_point_udf(spark, blob, key_kind))
+    elif kind in ("kll", "tdigest"):
+        spark.udf.register(f"{prefix}_rank", rank_udf(spark, blob, kind))
+    else:
+        raise ValueError(kind)
+
+
 def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
                     value_kind: str = "i32_array"):
     """Bulk membership over a whole table — the Exist() hot loop at scale.

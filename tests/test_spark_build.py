@@ -171,3 +171,14 @@ def test_preagg_direct_identical_cms(spark, tokens_df):
     direct, n1 = build_sketch(tokens_df, sk, "tokens", "i32_array")
     pre, n2 = build_sketch_preagg(tokens_df, sk, "tokens", "i32_array")
     assert direct == pre and n1 == n2
+
+
+def test_register_sql_probes(spark, sf_small, bloom_blob):
+    from bloom_filter_spark.operators.probe import register_sql_probes
+    sketch, blob = bloom_blob
+    register_sql_probes(spark, "tok", blob, "bloom", "i32")
+    spark.read.parquet(f"{sf_small}/probes_present.parquet") \
+         .createOrReplaceTempView("probes_v")
+    n = spark.sql("SELECT count(*) c FROM probes_v WHERE NOT tok_contains(token)") \
+             .collect()[0].c
+    assert n == 0  # zero FN through the SQL surface
