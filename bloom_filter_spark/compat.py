@@ -31,12 +31,16 @@ from .sketches import (
 
 
 def _as_batch(data) -> tuple[np.ndarray | list, str]:
-    """Normalize a single key to a one-element batch + kind."""
+    """Normalize a single key to a one-element batch + kind.
+
+    bytes keys stay raw bytes (the reference takes opaque []byte — arbitrary
+    non-UTF8 payloads must hash, not decode); ints always take the 64-bit
+    hash path so values ≥ 2^31 neither truncate nor alias their low words.
+    """
     if isinstance(data, (bytes, str)):
-        return [data.decode("utf-8", "surrogateescape") if isinstance(data, bytes)
-                else data], "str"
+        return np.array([data], dtype=bytes if isinstance(data, bytes) else None), "str"
     if isinstance(data, (int, np.integer)):
-        return np.array([data], np.int32), "i32"
+        return np.array([data], np.int64), "i64"
     raise TypeError(f"unsupported key type {type(data)}")
 
 
@@ -56,18 +60,19 @@ class _MembershipFilter:
         batch, kind = _as_batch(data)
         return bool(getattr(self._sketch, f"contains_{kind}")(self._state, batch)[0])
 
-    # batch forms (vectorized hot path)
+    # batch forms (vectorized hot path); ints always hash via the 64-bit
+    # path so mixed-magnitude batches stay consistent with single inserts
     def insert_many(self, values) -> None:
         arr = np.asarray(values)
         if arr.dtype.kind in "iu":
-            self._sketch.update_i32(self._state, arr.astype(np.int32))
+            self._sketch.update_i64(self._state, arr.astype(np.int64))
         else:
             self._sketch.update_str(self._state, list(values))
 
     def exist_many(self, values) -> np.ndarray:
         arr = np.asarray(values)
         if arr.dtype.kind in "iu":
-            return self._sketch.contains_i32(self._state, arr.astype(np.int32))
+            return self._sketch.contains_i64(self._state, arr.astype(np.int64))
         return self._sketch.contains_str(self._state, list(values))
 
     def serialize(self) -> bytes:

@@ -73,11 +73,13 @@ def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     Vectorized FNV-1a: keys are packed into a padded (N, maxlen) uint8 matrix
     (numpy 'S' dtype) and folded column-by-column — O(maxlen) vectorized
     passes, zero per-row Python.  Length is folded into the final mix so a
-    key is distinguished from itself + trailing NULs.
+    key is distinguished from itself + trailing padding.  Interior NUL bytes
+    are folded correctly (length = last non-NUL position + 1, so NUL columns
+    inside the key still multiply by the FNV prime).
 
-    Limitation: keys containing embedded NUL bytes are truncated at the NUL
-    (numpy 'S' semantics).  Fine for doc_id/text keys; binary-blob keys
-    should be pre-hashed.
+    Limitation: numpy 'S' storage cannot represent TRAILING NUL bytes, so
+    keys differing only in trailing NULs collide; binary blobs with trailing
+    NULs should be pre-hashed or length-prefixed by the caller.
     """
     arr = np.asarray(values, dtype=bytes)
     n = arr.shape[0]
@@ -85,10 +87,13 @@ def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
         return np.empty(0, dtype=U64)
     width = arr.dtype.itemsize
     mat = arr.view(np.uint8).reshape(n, width)
-    lengths = (mat != 0).cumsum(axis=1)[:, -1] if width else np.zeros(n, np.intp)
-    # 'S' pads with NULs; length = position of last nonzero byte + 1 is wrong
-    # for keys with interior spaces of \0 — but 'S' dtype already truncates at
-    # first NUL, so count of nonzero bytes == length here.
+    if width:
+        # true length = index of last non-NUL byte + 1 (0 for all-NUL rows)
+        rev_nonzero = mat[:, ::-1] != 0
+        lengths = np.where(rev_nonzero.any(axis=1),
+                           width - rev_nonzero.argmax(axis=1), 0)
+    else:
+        lengths = np.zeros(n, np.intp)
     h = np.full(n, _FNV_OFFSET ^ mix_seed(seed), dtype=U64)
     with np.errstate(over="ignore"):
         for j in range(width):

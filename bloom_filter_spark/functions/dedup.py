@@ -191,22 +191,31 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
              .distinct().cache())
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(max_iters):
-        prop = (edges.join(labels, edges.b == labels.node)
-                .groupBy("a").agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(prop, labels.node == prop.a, "left")
-                      .select("node", F.least(
-                          F.col("label"),
-                          F.coalesce(F.col("nbr_label"), F.col("label"))
-                      ).alias("label")).cache())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    try:
+        for _ in range(max_iters):
+            prop = (edges.join(labels, edges.b == labels.node)
+                    .groupBy("a").agg(F.min("label").alias("nbr_label")))
+            new_labels = (labels.join(prop, labels.node == prop.a, "left")
+                          .select("node", F.least(
+                              F.col("label"),
+                              F.coalesce(F.col("nbr_label"), F.col("label"))
+                          ).alias("label")).cache())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                       .where(F.col("n.label") != F.col("o.label")).count())
+            if labels.is_cached:
+                labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # materialize before releasing the caches the plan depends on
+        out = labels.select(F.col("node").alias("doc_id"),
+                            F.col("label").alias("cluster_id")).localCheckpoint()
+    finally:
+        if labels.is_cached:
+            labels.unpersist()
+        edges.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------- SimHash

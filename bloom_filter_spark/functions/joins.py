@@ -67,7 +67,10 @@ def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int) -> DataFra
     ~1/n of the rows by construction)."""
     bounds = quantile_buckets(df, col, n_buckets)
     c = F.col(col).cast("double")
-    # bucket id = number of boundaries exceeded (monotone boundaries)
+    # bucket id = number of boundaries exceeded (monotone boundaries);
+    # RANGE-partition the id so bucket i lands in partition i — hash
+    # partitioning would collide distinct buckets into shared partitions
     bucket = sum((c > F.lit(b)).cast("int") for b in bounds)
-    return df.withColumn("__bucket", bucket).repartition(n_buckets, "__bucket") \
-             .drop("__bucket")
+    return (df.withColumn("__bucket", bucket)
+            .repartitionByRange(n_buckets, "__bucket")
+            .drop("__bucket"))

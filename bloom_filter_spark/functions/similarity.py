@@ -75,8 +75,10 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
 # ---------------------------------------------------------------- LSH ANN
 def hyperplane_signatures(emb: DataFrame, n_bits: int = 16,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          seed: int = 0xA11CE, dim: int | None = None) -> DataFrame:
+                          seed: int = 0xA11CE) -> DataFrame:
     """Random-hyperplane signature per vector (numpy batch matmul)."""
+    id_type = emb.schema[id_col].dataType.simpleString()
+
     def sign(it):
         planes = None
         for pdf in it:
@@ -91,7 +93,7 @@ def hyperplane_signatures(emb: DataFrame, n_bits: int = 16,
                 axis=1, dtype=np.uint64)
             yield pd.DataFrame({"id": pdf[id_col], "bucket": sig.astype(np.int64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(sign, "id long, bucket bigint")
+    return emb.select(id_col, vec_col).mapInPandas(sign, f"id {id_type}, bucket bigint")
 
 
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 4,

@@ -60,8 +60,10 @@ def _update(sketch, state, values, value_kind: str) -> int:
     elif value_kind == "i64":
         if hasattr(sketch, "update_i64"):
             sketch.update_i64(state, np.asarray(values, np.int64))
-        else:
+        elif hasattr(sketch, "update"):  # quantile sketches take floats
             sketch.update(state, np.asarray(values, np.float64))
+        else:
+            raise ValueError(f"{sketch.kind} does not support i64 values")
     elif value_kind == "f64":
         sketch.update(state, np.asarray(values, np.float64))
     elif value_kind == "str":
@@ -303,7 +305,8 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
         raise ValueError(f"pre-aggregated grouped build unsupported for {sketch.kind}")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
     v = F.explode(F.col(col)) if value_kind == "i32_array" else F.col(col)
-    flat = df.select(F.col(group_col).cast("string").alias("group"), v.alias("v"))
+    flat = (df.select(F.col(group_col).cast("string").alias("group"), v.alias("v"))
+            .where(F.col("v").isNotNull()))  # null keys are not insertable
     counts = flat.groupBy("group", "v").agg(F.count("*").alias("cnt"))
 
     def phase1(batches):

@@ -55,9 +55,15 @@ class SketchCheckpoint:
                        input_desc: str = "", level: int = 0) -> DataFrame:
         """Persist partial rows; returns the *persisted* partials re-read from
         storage so the downstream merge consumes checkpointed state (resume
-        equivalence is structural, not best-effort)."""
+        equivalence is structural, not best-effort).
+
+        Each invocation writes under its own run directory and atomically
+        advances a _LATEST_RUN pointer; re-running a build with the same
+        sketch_id (retry after a crash) supersedes — never duplicates —
+        the previous attempt's partials."""
         pj = params_json(sketch)
         now = time.time()
+        run_id = uuid.uuid4().hex[:12]
         enriched = partials.select(
             F.lit(sketch_id).alias("sketch_id"),
             F.lit(sketch.kind).alias("kind"),
@@ -67,12 +73,26 @@ class SketchCheckpoint:
             F.lit(input_desc).alias("input_desc"),
             F.lit(now).alias("created_utc"),
         )
-        path = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
-        enriched.write.mode("append").parquet(path)
+        base = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
+        path = os.path.join(base, f"run={run_id}")
+        enriched.write.mode("errorifexists").parquet(path)
+        self._set_latest_run(base, run_id)
         spark = partials.sparkSession
         return (spark.read.parquet(path)
                 .where(F.col("level") == level)
                 .select("partition_id", "n_items", "state"))
+
+    @staticmethod
+    def _set_latest_run(base: str, run_id: str) -> None:
+        tmp = os.path.join(base, f"._LATEST_RUN.{run_id}")
+        with open(tmp, "w") as f:
+            f.write(run_id)
+        os.replace(tmp, os.path.join(base, "_LATEST_RUN"))
+
+    @staticmethod
+    def _latest_run_path(base: str) -> str:
+        with open(os.path.join(base, "_LATEST_RUN")) as f:
+            return os.path.join(base, f"run={f.read().strip()}")
 
     def write_final(self, sketch_id: str, sketch, blob: bytes, n_items: int) -> None:
         spark = SparkSession.getActiveSession()
@@ -98,9 +118,9 @@ class SketchCheckpoint:
 
     def resume(self, spark: SparkSession, sketch_id: str, sketch,
                fanin: int = 64) -> tuple[bytes, int]:
-        """Rebuild the final state from checkpointed partials alone."""
-        path = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
-        partials = (spark.read.parquet(path)
+        """Rebuild the final state from the LATEST complete run's partials."""
+        base = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
+        partials = (spark.read.parquet(self._latest_run_path(base))
                     .select("partition_id", "n_items", "state"))
         row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
         blob, n = bytes(row.state), int(row.n_items)

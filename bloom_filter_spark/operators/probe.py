@@ -42,21 +42,30 @@ def membership_udf(spark: SparkSession, blob: bytes, kind: str, key_kind: str = 
     bc = spark.sparkContext.broadcast(blob)
     key = _cache_key(blob, kind)
 
+    def _masked(s: pd.Series, fn) -> pd.Series:
+        # NULL keys are never members (they were never inserted); don't
+        # coerce them onto key 0 / "" which may genuinely exist
+        na = s.isna()
+        out = fn(s.fillna(0 if key_kind != "str" else ""))
+        out = np.asarray(out)
+        out[na.to_numpy()] = False
+        return pd.Series(out)
+
     if key_kind == "i32":
         @F.pandas_udf(BooleanType())
         def probe(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return pd.Series(sk.contains_i32(state, s.to_numpy(np.int32, na_value=0)))
+            return _masked(s, lambda x: sk.contains_i32(state, x.to_numpy(np.int32)))
     elif key_kind == "i64":
         @F.pandas_udf(BooleanType())
         def probe(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return pd.Series(sk.contains_i64(state, s.to_numpy(np.int64, na_value=0)))
+            return _masked(s, lambda x: sk.contains_i64(state, x.to_numpy(np.int64)))
     elif key_kind == "str":
         @F.pandas_udf(BooleanType())
         def probe(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return pd.Series(sk.contains_str(state, s.fillna("").tolist()))
+            return _masked(s, lambda x: sk.contains_str(state, x.tolist()))
     else:
         raise ValueError(key_kind)
     return probe
@@ -67,16 +76,28 @@ def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32"):
     bc = spark.sparkContext.broadcast(blob)
     key = _cache_key(blob, "cms")
 
+    def _masked(s: pd.Series, fn) -> pd.Series:
+        # NULL keys have frequency 0, not key-0's estimate
+        na = s.isna()
+        out = np.asarray(fn(s.fillna(0 if key_kind != "str" else "")))
+        out[na.to_numpy()] = 0
+        return pd.Series(out)
+
     if key_kind == "i32":
         @F.pandas_udf(LongType())
         def point(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return pd.Series(sk.point_i32(state, s.to_numpy(np.int32, na_value=0)))
+            return _masked(s, lambda x: sk.point_i32(state, x.to_numpy(np.int32)))
+    elif key_kind == "i64":
+        @F.pandas_udf(LongType())
+        def point(s: pd.Series) -> pd.Series:
+            sk, state = _get(bc, key)
+            return _masked(s, lambda x: sk.point_i64(state, x.to_numpy(np.int64)))
     else:
         @F.pandas_udf(LongType())
         def point(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return pd.Series(sk.point_str(state, s.fillna("").tolist()))
+            return _masked(s, lambda x: sk.point_str(state, x.tolist()))
     return point
 
 

@@ -72,25 +72,27 @@ class BlockedBloomSketch:
         inblock = hashing.km_indices(h_hi, BLOCK_BITS, K)  # & 255 mask
         return base[:, None] + inblock
 
-    def _two_hashes(self, values: np.ndarray, is_str: bool) -> tuple[np.ndarray, np.ndarray]:
+    def _two_hashes(self, values, kind: str) -> tuple[np.ndarray, np.ndarray]:
         # the reference uses one 128-bit xxh3 (filter.go:41); we derive the
         # two 64-bit halves from two independent seeded mixes.
         s = self.params.seed
-        if is_str:
-            return (hashing.hash64_str(values, s),
-                    hashing.hash64_str(values, s ^ 0xA5A5A5A5A5A5A5A5))
-        return (hashing.hash64_i32(values, s),
-                hashing.hash64_i32(values, s ^ 0xA5A5A5A5A5A5A5A5))
+        fn = {"str": hashing.hash64_str, "i32": hashing.hash64_i32,
+              "i64": hashing.hash64_i64}[kind]
+        return fn(values, s), fn(values, s ^ 0xA5A5A5A5A5A5A5A5)
 
     def _update(self, state: np.ndarray, pos: np.ndarray) -> None:
         hashing.set_bits(state, pos.ravel(), self.params.m)
 
     def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
-        lo, hi = self._two_hashes(np.asarray(values, np.int32), False)
+        lo, hi = self._two_hashes(np.asarray(values, np.int32), "i32")
+        self._update(state, self._positions(lo, hi))
+
+    def update_i64(self, state: np.ndarray, values: np.ndarray) -> None:
+        lo, hi = self._two_hashes(np.asarray(values, np.int64), "i64")
         self._update(state, self._positions(lo, hi))
 
     def update_str(self, state: np.ndarray, values) -> None:
-        lo, hi = self._two_hashes(values, True)
+        lo, hi = self._two_hashes(values, "str")
         self._update(state, self._positions(lo, hi))
 
     def _contains(self, state: np.ndarray, pos: np.ndarray) -> np.ndarray:
@@ -99,11 +101,15 @@ class BlockedBloomSketch:
         return hit.all(axis=1)
 
     def contains_i32(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
-        lo, hi = self._two_hashes(np.asarray(values, np.int32), False)
+        lo, hi = self._two_hashes(np.asarray(values, np.int32), "i32")
+        return self._contains(state, self._positions(lo, hi))
+
+    def contains_i64(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        lo, hi = self._two_hashes(np.asarray(values, np.int64), "i64")
         return self._contains(state, self._positions(lo, hi))
 
     def contains_str(self, state: np.ndarray, values) -> np.ndarray:
-        lo, hi = self._two_hashes(values, True)
+        lo, hi = self._two_hashes(values, "str")
         return self._contains(state, self._positions(lo, hi))
 
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:

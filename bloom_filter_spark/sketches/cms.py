@@ -52,10 +52,12 @@ class CMSSketch:
     def empty(self) -> np.ndarray:
         return np.zeros((self.params.d, self.params.w), dtype=np.int64)
 
-    def _hash(self, values, is_str: bool) -> np.ndarray:
-        return (hashing.hash64_str(values, self.params.seed) if is_str
-                else hashing.hash64_i32(np.asarray(values, np.int32),
-                                        self.params.seed))
+    def _hash(self, values, kind) -> np.ndarray:
+        if kind is True or kind == "str":
+            return hashing.hash64_str(values, self.params.seed)
+        if kind == "i64":
+            return hashing.hash64_i64(np.asarray(values, np.int64), self.params.seed)
+        return hashing.hash64_i32(np.asarray(values, np.int32), self.params.seed)
 
     def _row_idx_from(self, h: np.ndarray, j: int) -> np.ndarray:
         h1, h2 = hashing.split_h1_h2(h)
@@ -63,18 +65,21 @@ class CMSSketch:
             mixed = h1 + np.uint64(j) * h2
         return (mixed % np.uint64(self.params.w)).astype(np.int64)
 
-    def _update(self, state, values, is_str: bool, weights=None) -> None:
-        h = self._hash(values, is_str)
+    def _update(self, state, values, kind, weights=None) -> None:
+        h = self._hash(values, kind)
         for j in range(self.params.d):
             idx = self._row_idx_from(h, j)
             state[j] += np.bincount(idx, weights=weights,
                                     minlength=self.params.w).astype(np.int64)
 
     def update_i32(self, state, values, weights=None) -> None:
-        self._update(state, values, False, weights)
+        self._update(state, values, "i32", weights)
+
+    def update_i64(self, state, values, weights=None) -> None:
+        self._update(state, values, "i64", weights)
 
     def update_str(self, state, values, weights=None) -> None:
-        self._update(state, values, True, weights)
+        self._update(state, values, "str", weights)
 
     def _point(self, state, h: np.ndarray) -> np.ndarray:
         ests = np.stack([state[j, self._row_idx_from(h, j)]
@@ -82,10 +87,13 @@ class CMSSketch:
         return ests.min(axis=0)
 
     def point_i32(self, state, values) -> np.ndarray:
-        return self._point(state, self._hash(values, False))
+        return self._point(state, self._hash(values, "i32"))
+
+    def point_i64(self, state, values) -> np.ndarray:
+        return self._point(state, self._hash(values, "i64"))
 
     def point_str(self, state, values) -> np.ndarray:
-        return self._point(state, self._hash(values, True))
+        return self._point(state, self._hash(values, "str"))
 
     def merge(self, a, b) -> np.ndarray:
         return a + b

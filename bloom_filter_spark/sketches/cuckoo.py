@@ -72,11 +72,15 @@ class CuckooFilter:
         return np.zeros((self.params.m, SLOTS), dtype=np.uint8)
 
     # -- hashing ------------------------------------------------------------
-    def _fingerprints(self, values, is_str: bool) -> tuple[np.ndarray, np.ndarray]:
+    def _fingerprints(self, values, kind) -> tuple[np.ndarray, np.ndarray]:
         """→ (h1 bucket index uint64, fp uint8) per key — filter.go:108-118."""
         p = self.params
-        h = (hashing.hash64_str(values, p.seed) if is_str
-             else hashing.hash64_i32(np.asarray(values, np.int32), p.seed))
+        if kind is True or kind == "str":
+            h = hashing.hash64_str(values, p.seed)
+        elif kind == "i64":
+            h = hashing.hash64_i64(np.asarray(values, np.int64), p.seed)
+        else:
+            h = hashing.hash64_i32(np.asarray(values, np.int32), p.seed)
         h1 = (h >> np.uint64(32)) & np.uint64(p.m - 1)
         fp = (h & np.uint64(0xFF)).astype(np.uint8)
         fp[fp == FP_NULL] = 1  # sentinel remap, filter.go:114-116
@@ -87,11 +91,15 @@ class CuckooFilter:
 
     # -- insert ---------------------------------------------------------------
     def insert_i32(self, state: np.ndarray, values: np.ndarray, rng_seed: int = 0) -> int:
-        h1, fp = self._fingerprints(values, False)
+        h1, fp = self._fingerprints(values, "i32")
+        return self._insert(state, h1, fp, rng_seed)
+
+    def insert_i64(self, state: np.ndarray, values: np.ndarray, rng_seed: int = 0) -> int:
+        h1, fp = self._fingerprints(values, "i64")
         return self._insert(state, h1, fp, rng_seed)
 
     def insert_str(self, state: np.ndarray, values, rng_seed: int = 0) -> int:
-        h1, fp = self._fingerprints(values, True)
+        h1, fp = self._fingerprints(values, "str")
         return self._insert(state, h1, fp, rng_seed)
 
     def _insert(self, state: np.ndarray, h1: np.ndarray, fp: np.ndarray, rng_seed: int) -> int:
@@ -178,21 +186,29 @@ class CuckooFilter:
         return ((b1 == fp[:, None]).any(axis=1)) | ((b2 == fp[:, None]).any(axis=1))
 
     def contains_i32(self, state, values) -> np.ndarray:
-        h1, fp = self._fingerprints(values, False)
+        h1, fp = self._fingerprints(values, "i32")
+        return self._lookup(state, h1, fp)
+
+    def contains_i64(self, state, values) -> np.ndarray:
+        h1, fp = self._fingerprints(values, "i64")
         return self._lookup(state, h1, fp)
 
     def contains_str(self, state, values) -> np.ndarray:
-        h1, fp = self._fingerprints(values, True)
+        h1, fp = self._fingerprints(values, "str")
         return self._lookup(state, h1, fp)
 
     def delete_i32(self, state, values) -> np.ndarray:
         """Remove ONE copy per key (multiset semantics, filter.go:87-106).
         Returns per-key success.  Single-writer only."""
-        h1, fp = self._fingerprints(np.asarray(values, np.int32), False)
+        h1, fp = self._fingerprints(np.asarray(values, np.int32), "i32")
+        return self._delete(state, h1, fp)
+
+    def delete_i64(self, state, values) -> np.ndarray:
+        h1, fp = self._fingerprints(np.asarray(values, np.int64), "i64")
         return self._delete(state, h1, fp)
 
     def delete_str(self, state, values) -> np.ndarray:
-        h1, fp = self._fingerprints(values, True)
+        h1, fp = self._fingerprints(values, "str")
         return self._delete(state, h1, fp)
 
     def _delete(self, state, h1, fp) -> np.ndarray:

@@ -1,0 +1,101 @@
+"""Regression tests for the round-1 adversarial review findings."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filter_spark.compat import BloomFilter, CuckooFilter
+from bloom_filter_spark.core import hashing
+
+
+def test_compat_accepts_raw_non_utf8_bytes():
+    f = BloomFilter(100, 0.01)
+    f.insert(b"\xff\x81\x00tail")  # opaque []byte like the reference
+    assert f.exist(b"\xff\x81\x00tail")
+    assert not f.exist(b"\xff\x81\x00tall")
+
+
+def test_compat_int64_keys_do_not_alias():
+    f = BloomFilter(1000, 0.001)
+    f.insert(2**32 + 5)
+    assert f.exist(2**32 + 5)
+    assert not f.exist(5)  # low-word aliasing would make this true
+    f.insert_many(np.array([2**40, 7], np.int64))
+    assert f.exist(2**40) and f.exist(7)
+    cf = CuckooFilter(100, 0.8)
+    assert cf.insert(2**33 + 1)
+    assert cf.lookup(2**33 + 1)
+
+
+def test_interior_nul_bytes_hash_distinctly():
+    h1 = hashing.hash64_bytes(np.array([b"a\x00b"], dtype=bytes), 1)[0]
+    h2 = hashing.hash64_bytes(np.array([b"a\x00c"], dtype=bytes), 1)[0]
+    h3 = hashing.hash64_bytes(np.array([b"ab"], dtype=bytes), 1)[0]
+    assert h1 != h2 and h1 != h3 and h2 != h3
+
+
+def test_null_keys_probe_false_and_zero(spark, sf_small):
+    from bloom_filter_spark.operators import (
+        build_sketch, cms_point_udf, membership_udf)
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch, CMSParams, CMSSketch
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    # token 0 IS present (edge_zero_tok fixture row) — NULL must still be False
+    bl, _ = build_sketch(toks, BloomSketch(BloomParams(n=65_536, p=0.01)),
+                         "tokens", "i32_array")
+    cm, _ = build_sketch(toks, CMSSketch(CMSParams(eps=0.001, delta=0.01)),
+                         "tokens", "i32_array")
+    probes = spark.createDataFrame([(0,), (None,)], "token int")
+    probe = membership_udf(spark, bl, "bloom", "i32")
+    point = cms_point_udf(spark, cm, "i32")
+    rows = {r.token: (r.member, r.est) for r in probes.select(
+        "token", probe("token").alias("member"), point("token").alias("est")
+    ).collect()}
+    assert rows[0][0] is True and rows[0][1] > 0
+    assert rows[None][0] is False and rows[None][1] == 0
+
+
+def test_checkpoint_rerun_supersedes_not_duplicates(spark, sf_small, tmp_path):
+    from bloom_filter_spark.operators import SketchCheckpoint, build_sketch
+    from bloom_filter_spark.sketches import CMSParams, CMSSketch
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet").limit(500)
+    ck = SketchCheckpoint(str(tmp_path / "ck"))
+    sk = CMSSketch(CMSParams(eps=0.01, delta=0.01))
+    blob1, n1 = build_sketch(toks, sk, "tokens", "i32_array",
+                             checkpoint=ck, sketch_id="retry")
+    # simulate an operator retry with the same sketch_id
+    blob2, n2 = build_sketch(toks, sk, "tokens", "i32_array",
+                             checkpoint=ck, sketch_id="retry")
+    assert blob2 == blob1 and n2 == n1  # counts NOT doubled
+    blob3, n3 = ck.resume(spark, "retry", sk)
+    assert blob3 == blob1 and n3 == n1
+
+
+def test_grouped_preagg_skips_null_values(spark):
+    from bloom_filter_spark.operators import build_grouped_preagg, membership_udf
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    df = spark.createDataFrame(
+        [("g1", 5), ("g1", None), ("g1", 7)], "source string, v int")
+    sk = BloomSketch(BloomParams(n=64, p=0.01))
+    rows = build_grouped_preagg(df, sk, "source", "v", "i32").collect()
+    assert rows[0].n_items == 2  # null never counted or inserted
+    _, state = BloomSketch.deserialize(bytes(rows[0].state))
+    assert sk.contains_i32(state, np.array([5, 7], np.int32)).all()
+
+
+def test_lsh_signatures_respect_string_ids(spark):
+    from bloom_filter_spark.functions.similarity import hyperplane_signatures
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [0.5, -1.0])],
+        "vec_id string, embedding array<float>")
+    out = hyperplane_signatures(df, n_bits=4)
+    assert dict(out.dtypes)["id"] == "string"
+    assert {r.id for r in out.collect()} == {"a", "b"}
+
+
+def test_repartition_by_quantiles_range_partitioned(spark, sf_small):
+    from bloom_filter_spark.functions.joins import repartition_by_quantiles
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    flat = toks.select(F.explode("tokens").alias("t"))
+    out = repartition_by_quantiles(flat, "t", 8)
+    sizes = [s for s in out.rdd.glom().map(len).collect() if s > 0]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
