@@ -137,7 +137,7 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
     if shuffle_partitions:
         counts = counts.repartition(shuffle_partitions)
 
-    supports_weights = sketch.kind in ("cms", "tdigest", "kll")
+    supports_weights = sketch.kind in ("cms", "tdigest", "kll", "mg")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
 
     def partial_fn(batches):
@@ -154,6 +154,8 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
                     state, vals, weights=w)
             elif sketch.kind == "kll":
                 sketch.update_weighted(state, np.asarray(vals, np.float64), w)
+            elif sketch.kind == "mg":
+                sketch.update_weighted(state, np.asarray(vals, np.int64), w)
             elif sketch.kind == "tdigest":
                 state.vmin = min(state.vmin, float(np.min(vals)))
                 state.vmax = max(state.vmax, float(np.max(vals)))

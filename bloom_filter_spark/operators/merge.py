@@ -28,6 +28,7 @@ _HEADER_LEN = {
     "cms": 32,            # u32 d | u32 w | u64 seed | f64 eps | f64 delta
     "kll": 12,            # u32 k | u64 seed (n/counter follow, may differ)
     "tdigest": 8,         # f64 compression
+    "mg": 4,              # u32 k (n/offset follow, may differ)
 }
 
 

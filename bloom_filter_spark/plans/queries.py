@@ -303,6 +303,27 @@ def q_streaming_bloom(spark, sf_dir):
         "epochs bigint, streaming_equals_batch boolean")
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra–Gries top-k: every exact top-20 token must be tracked, with an
+    underestimate within the sketch's accumulated decrement offset (≤
+    N/(k+1)) — the complement of CMS's overestimate bracket."""
+    from ..sketches import MGParams, MGSketch
+    toks = _tokens(spark, sf_dir)
+    sk = MGSketch(MGParams(k=4096))
+    blob, n = build_sketch(toks, sk, "tokens", "i32_array")
+    _, state = MGSketch.deserialize(blob)
+    top = (toks.select(F.explode("tokens").alias("token"))
+           .groupBy("token").agg(F.count("*").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)).collect()
+    bound = sk.error_bound(state)
+    est = sk.estimate(state, np.array([r.token for r in top], np.int64))
+    out = [(int(r.token), int(r.exact_cnt),
+            bool(0 < e <= r.exact_cnt and r.exact_cnt - e <= bound))
+           for r, e in zip(top, est)]
+    return spark.createDataFrame(
+        out, "token int, exact_cnt bigint, mg_ok boolean")
+
+
 def q_tdigest_rank_probe(spark, sf_dir):
     """Rank estimates for every distinct n_tok value via the broadcast rank
     UDF; each must sit within the digest's rank-error envelope of the exact
@@ -385,6 +406,7 @@ SKETCH_QUERIES = {
     "streaming_bloom_equals_batch": q_streaming_bloom,
     "tdigest_rank_probe": q_tdigest_rank_probe,
     "streaming_stateful_sources": q_streaming_stateful_sources,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
 }
 
 
@@ -444,6 +466,12 @@ def sketch_oracles() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    TRUE AS within_bound
             FROM {tok} GROUP BY source
+        """,
+        "mg_heavy_hitters": f"""
+            SELECT token, exact_cnt, TRUE AS mg_ok FROM (
+                SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM (SELECT unnest(tokens) AS t FROM {tok})
+                GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
         """,
     }
 

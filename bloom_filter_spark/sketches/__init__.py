@@ -15,3 +15,4 @@ from .hll import HLLParams, HLLSketch  # noqa: F401
 from .cms import CMSParams, CMSSketch  # noqa: F401
 from .kll import KLLParams, KLLSketch  # noqa: F401
 from .tdigest import TDigestParams, TDigestSketch  # noqa: F401
+from .misra_gries import MGParams, MGSketch  # noqa: F401

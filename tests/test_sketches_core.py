@@ -313,3 +313,58 @@ def test_tdigest_serde_and_minmax():
     sk2, st2 = TDigestSketch.deserialize(sk.serialize(st))
     assert st2.vmin == 1.0 and st2.vmax == 9.0 and st2.n == 3
     np.testing.assert_allclose(sk.quantiles(st, [0.0, 1.0]), [1.0, 9.0])
+
+
+# ---------------------------------------------------------------- Misra-Gries
+def test_mg_tracks_heavy_hitters_with_bound():
+    from bloom_filter_spark.sketches import MGParams, MGSketch
+    sk = MGSketch(MGParams(k=256))
+    rng = np.random.default_rng(13)
+    vals = (rng.zipf(1.3, 500_000) % 20_000).astype(np.int64)
+    state = sk.empty()
+    for chunk in np.array_split(vals, 10):
+        sk.update_i64(state, chunk)
+    assert state.n == vals.size
+    assert state.keys.size <= 256
+    assert sk.error_bound(state) <= vals.size // (256 + 1) + 1
+    uniq, cnt = np.unique(vals, return_counts=True)
+    top_true = uniq[np.argsort(-cnt)][:10]
+    est = sk.estimate(state, top_true)
+    true = cnt[np.argsort(-cnt)][:10]
+    assert (est <= true).all()                       # underestimates
+    assert (true - est <= sk.error_bound(state)).all()  # within offset
+    # any key above N/(k+1) must be tracked
+    heavy = uniq[cnt > vals.size // 257]
+    assert (sk.estimate(state, heavy) > 0).all()
+
+
+def test_mg_merge_and_serde():
+    from bloom_filter_spark.sketches import MGParams, MGSketch
+    sk = MGSketch(MGParams(k=128))
+    rng = np.random.default_rng(14)
+    vals = (rng.zipf(1.2, 200_000) % 5_000).astype(np.int64)
+    parts = []
+    for chunk in np.array_split(vals, 8):
+        st = sk.empty()
+        sk.update_i64(st, chunk)
+        parts.append(st)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = sk.merge(merged, p)
+    assert merged.n == vals.size
+    uniq, cnt = np.unique(vals, return_counts=True)
+    top_true = uniq[np.argsort(-cnt)][:5]
+    est = sk.estimate(merged, top_true)
+    true = cnt[np.argsort(-cnt)][:5]
+    assert (est <= true).all()
+    assert (true - est <= sk.error_bound(merged)).all()
+    sk2, st2 = MGSketch.deserialize(sk.serialize(merged))
+    np.testing.assert_array_equal(st2.keys, merged.keys)
+    assert st2.n == merged.n and st2.offset == merged.offset
+    # weighted form agrees with repeated form exactly
+    w_state = sk.empty()
+    sk.update_weighted(w_state, uniq, cnt)
+    r_state = sk.empty()
+    sk.update_i64(r_state, np.repeat(uniq, cnt))
+    np.testing.assert_array_equal(w_state.keys, r_state.keys)
+    np.testing.assert_array_equal(w_state.counts, r_state.counts)
