@@ -182,3 +182,22 @@ def test_register_sql_probes(spark, sf_small, bloom_blob):
     n = spark.sql("SELECT count(*) c FROM probes_v WHERE NOT tok_contains(token)") \
              .collect()[0].c
     assert n == 0  # zero FN through the SQL surface
+
+
+def test_membership_scan_scalar_and_str(spark, sf_small, bloom_blob):
+    from bloom_filter_spark.operators import membership_scan
+    sketch, blob = bloom_blob
+    pres = spark.read.parquet(f"{sf_small}/probes_present.parquet")
+    agg = (membership_scan(pres, "token", spark, blob, "bloom", "i32")
+           .agg(F.sum("n_probed").alias("n"), F.sum("n_member").alias("h"))
+           .collect()[0])
+    assert agg.n == agg.h == 10_000
+    # string scan over doc ids with a doc-keyed bloom
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    dblob, _ = build_sketch(toks, BloomSketch(BloomParams(n=10_000, p=0.01)),
+                            "doc_id", "str")
+    agg2 = (membership_scan(toks, "doc_id", spark, dblob, "bloom", "str")
+            .agg(F.sum("n_probed").alias("n"), F.sum("n_member").alias("h"))
+            .collect()[0])
+    assert agg2.n == agg2.h  # zero FN over every doc id
