@@ -29,6 +29,7 @@ _HEADER_LEN = {
     "kll": 12,            # u32 k | u64 seed (n/counter follow, may differ)
     "tdigest": 8,         # f64 compression
     "mg": 4,              # u32 k (n/offset follow, may differ)
+    "reservoir": 12,      # u32 k | u64 seed
 }
 
 

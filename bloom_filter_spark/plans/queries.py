@@ -324,6 +324,24 @@ def q_mg_heavy_hitters(spark, sf_dir):
         out, "token int, exact_cnt bigint, mg_ok boolean")
 
 
+def q_reservoir_sample(spark, sf_dir):
+    """Distributed uniform reservoir sample over the token stream: exact n,
+    exact sample size, and every sampled token verified present in the
+    corpus (membership via semi-join against the distinct-token set)."""
+    from ..sketches import ReservoirParams, ReservoirSketch
+    toks = _tokens(spark, sf_dir)
+    sk = ReservoirSketch(ReservoirParams(k=1000, seed=7))
+    blob, n = build_sketch(toks, sk, "tokens", "i32_array")
+    _, state = ReservoirSketch.deserialize(blob)
+    sample_df = spark.createDataFrame(
+        [(int(v),) for v in state.sample], "token int")
+    distinct = toks.select(F.explode("tokens").alias("token")).distinct()
+    present = sample_df.join(distinct, "token", "left_semi").count()
+    return spark.createDataFrame(
+        [(int(state.sample.size), int(n), bool(present == state.sample.size))],
+        "n_sampled bigint, n_total bigint, all_sampled_present boolean")
+
+
 def q_tdigest_rank_probe(spark, sf_dir):
     """Rank estimates for every distinct n_tok value via the broadcast rank
     UDF; each must sit within the digest's rank-error envelope of the exact
@@ -407,6 +425,7 @@ SKETCH_QUERIES = {
     "tdigest_rank_probe": q_tdigest_rank_probe,
     "streaming_stateful_sources": q_streaming_stateful_sources,
     "mg_heavy_hitters": q_mg_heavy_hitters,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 
@@ -472,6 +491,12 @@ def sketch_oracles() -> dict[str, str]:
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
                 FROM (SELECT unnest(tokens) AS t FROM {tok})
                 GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
+        """,
+        "reservoir_sample": f"""
+            SELECT CAST(1000 AS BIGINT) AS n_sampled,
+                   CAST(sum(n_tok) AS BIGINT) AS n_total,
+                   TRUE AS all_sampled_present
+            FROM {tok}
         """,
     }
 

@@ -16,3 +16,4 @@ from .cms import CMSParams, CMSSketch  # noqa: F401
 from .kll import KLLParams, KLLSketch  # noqa: F401
 from .tdigest import TDigestParams, TDigestSketch  # noqa: F401
 from .misra_gries import MGParams, MGSketch  # noqa: F401
+from .reservoir import ReservoirParams, ReservoirSketch  # noqa: F401

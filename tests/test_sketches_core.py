@@ -368,3 +368,44 @@ def test_mg_merge_and_serde():
     sk.update_i64(r_state, np.repeat(uniq, cnt))
     np.testing.assert_array_equal(w_state.keys, r_state.keys)
     np.testing.assert_array_equal(w_state.counts, r_state.counts)
+
+
+# ---------------------------------------------------------------- reservoir
+def test_reservoir_exact_n_and_membership():
+    from bloom_filter_spark.sketches.reservoir import ReservoirParams, ReservoirSketch
+    sk = ReservoirSketch(ReservoirParams(k=256, seed=1))
+    state = sk.empty()
+    vals = np.arange(100_000, dtype=np.int64)
+    for chunk in np.array_split(vals, 7):
+        sk.update_i64(state, chunk)
+    assert state.n == vals.size and state.sample.size == 256
+    assert np.isin(state.sample, vals).all()
+    sk2, st2 = ReservoirSketch.deserialize(sk.serialize(state))
+    np.testing.assert_array_equal(st2.sample, state.sample)
+    assert st2.n == state.n
+
+
+def test_reservoir_uniformity_and_merge():
+    from bloom_filter_spark.sketches.reservoir import ReservoirParams, ReservoirSketch
+    k = 200
+    n_total = 20_000
+    hits = np.zeros(n_total, np.int64)
+    trials = 150
+    for t in range(trials):
+        sk = ReservoirSketch(ReservoirParams(k=k, seed=1000 + t))
+        parts = []
+        for chunk in np.array_split(np.arange(n_total, dtype=np.int64), 4):
+            st = sk.empty()
+            sk.update_i64(st, chunk)
+            parts.append(st)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = sk.merge(merged, p)
+        assert merged.n == n_total and merged.sample.size == k
+        assert len(set(merged.sample.tolist())) == k  # no duplicates
+        hits[merged.sample] += 1
+    # uniformity: each item expected k*trials/n = 1.5 hits; quarter-level
+    # inclusion rates must be near-equal (catches merge-weighting bias)
+    quarters = hits.reshape(4, -1).sum(axis=1)
+    expected = k * trials / 4
+    assert np.abs(quarters - expected).max() <= 0.12 * expected, quarters

@@ -201,3 +201,15 @@ def test_membership_scan_scalar_and_str(spark, sf_small, bloom_blob):
             .agg(F.sum("n_probed").alias("n"), F.sum("n_member").alias("h"))
             .collect()[0])
     assert agg2.n == agg2.h  # zero FN over every doc id
+
+
+def test_reservoir_distributed_build(spark, tokens_df):
+    from bloom_filter_spark.sketches import ReservoirParams, ReservoirSketch
+    sk = ReservoirSketch(ReservoirParams(k=500, seed=7))
+    blob, n = build_sketch(tokens_df, sk, "tokens", "i32_array")
+    assert n == tokens_df.select(F.sum("n_tok")).collect()[0][0]
+    _, state = ReservoirSketch.deserialize(blob)
+    assert state.n == n and state.sample.size == 500
+    present = set(r.t for r in tokens_df.select(
+        F.explode("tokens").alias("t")).distinct().collect())
+    assert set(state.sample.tolist()) <= present
