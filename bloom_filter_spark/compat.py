@@ -37,8 +37,12 @@ def _as_batch(data) -> tuple[np.ndarray | list, str]:
     non-UTF8 payloads must hash, not decode); ints always take the 64-bit
     hash path so values ≥ 2^31 neither truncate nor alias their low words.
     """
-    if isinstance(data, (bytes, str)):
-        return np.array([data], dtype=bytes if isinstance(data, bytes) else None), "str"
+    if isinstance(data, bytes):
+        # object dtype so hash64_bytes sees the true length — keys differing
+        # only in trailing NULs must hash distinctly ([]byte semantics)
+        return np.array([data], dtype=object), "str"
+    if isinstance(data, str):
+        return np.array([data]), "str"
     if isinstance(data, (int, np.integer)):
         return np.array([data], np.int64), "i64"
     raise TypeError(f"unsupported key type {type(data)}")

@@ -67,7 +67,8 @@ def hash64_i64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     return splitmix64(x ^ mix_seed(seed))
 
 
-def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+def hash64_bytes(values, seed: int = DEFAULT_SEED,
+                 lengths: np.ndarray | None = None) -> np.ndarray:
     """Hash variable-length byte-string keys (e.g. doc_id) to uint64.
 
     Vectorized FNV-1a: keys are packed into a padded (N, maxlen) uint8 matrix
@@ -77,17 +78,29 @@ def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     are folded correctly (length = last non-NUL position + 1, so NUL columns
     inside the key still multiply by the FNV prime).
 
-    Limitation: numpy 'S' storage cannot represent TRAILING NUL bytes, so
-    keys differing only in trailing NULs collide; binary blobs with trailing
-    NULs should be pre-hashed or length-prefixed by the caller.
+    Trailing NULs: numpy 'S' *storage* preserves them (itemsize covers the
+    raw byte length) but their position is indistinguishable from padding,
+    so when the input is a Python sequence / object array of bytes the true
+    per-key lengths are computed up front (one cheap pass) — keys differing
+    only in trailing NULs then hash distinctly, matching the reference's
+    opaque ``[]byte`` semantics.  Callers holding a pre-packed 'S' array may
+    pass explicit ``lengths``; without them trailing NULs are treated as
+    padding (documented limitation of that input form).
     """
+    if lengths is None and not (isinstance(values, np.ndarray)
+                                and values.dtype.kind == "S"):
+        vlist = values if isinstance(values, (list, tuple)) else list(values)
+        if vlist and isinstance(vlist[0], (bytes, bytearray)):
+            lengths = np.fromiter((len(v) for v in vlist), np.intp, len(vlist))
     arr = np.asarray(values, dtype=bytes)
     n = arr.shape[0]
     if n == 0:
         return np.empty(0, dtype=U64)
     width = arr.dtype.itemsize
     mat = arr.view(np.uint8).reshape(n, width)
-    if width:
+    if lengths is not None:
+        lengths = np.asarray(lengths, np.intp)
+    elif width:
         # true length = index of last non-NUL byte + 1 (0 for all-NUL rows)
         rev_nonzero = mat[:, ::-1] != 0
         lengths = np.where(rev_nonzero.any(axis=1),
@@ -107,12 +120,20 @@ def hash64_bytes(values, seed: int = DEFAULT_SEED) -> np.ndarray:
 
 
 def hash64_str(values, seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Hash unicode strings (UTF-8 encoded) to uint64."""
-    arr = np.asarray(values)
+    """Hash unicode strings (UTF-8 encoded) or bytes keys to uint64.
+
+    Object inputs whose elements are ``bytes`` route through the exact-length
+    bytes path (trailing NULs distinct); str inputs use the vectorized
+    np.char.encode fast path (np.char strips trailing-NUL *codepoints* — a
+    pathological case for text keys, use bytes keys for opaque blobs).
+    """
+    arr = np.asarray(values) if not isinstance(values, np.ndarray) else values
     if arr.dtype.kind == "U":
         enc = np.char.encode(arr, "utf-8")
     elif arr.dtype.kind == "S":
         enc = arr
+    elif arr.dtype.kind == "O" and arr.size and isinstance(arr.flat[0], (bytes, bytearray)):
+        return hash64_bytes(arr, seed)
     else:  # object array of python strs (pandas)
         enc = np.char.encode(arr.astype("U"), "utf-8")
     return hash64_bytes(enc, seed)

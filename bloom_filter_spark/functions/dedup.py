@@ -68,13 +68,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              .agg(F.count("*").alias("i")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    # filter on the UNROUNDED ratio (mirrors the oracle's WHERE-then-round
+    # order); round only in the projected output column
     return (inter
-            .join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-            .withColumn("jaccard", F.round(
-                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .withColumn("jacc_raw",
+                        F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")))
+            .where(F.col("jacc_raw") >= threshold)
+            .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
 
 
 # ---------------------------------------------------------------- MinHash LSH
@@ -169,11 +171,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jacc_raw",
+                        F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")))
+            .where(F.col("jacc_raw") >= threshold)
+            .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",

@@ -34,8 +34,15 @@ def bloom_prefilter_join(probe_df: DataFrame, build_df: DataFrame,
     Returns (joined_df, stats) where stats reports the pre-filter
     selectivity.  Join semantics are identical to the unfiltered join for
     'inner' and 'left_semi' (zero false negatives ⇒ no matching row is ever
-    dropped; false positives are removed by the join itself).
+    dropped; false positives are removed by the join itself).  Outer joins
+    are rejected: dropping probe rows before a 'left'/'full' join would
+    silently lose rows that should appear null-extended.
     """
+    allowed = {"inner", "left_semi", "leftsemi", "semi"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"bloom_prefilter_join preserves semantics only for inner/left_semi "
+            f"joins, got how={how!r} (outer joins would drop null-extended rows)")
     build_key = build_key or probe_key
     spark = probe_df.sparkSession
     if expected_keys is None:

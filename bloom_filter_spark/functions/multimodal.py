@@ -42,22 +42,38 @@ def _decode_stub(buf: np.ndarray) -> tuple[int, int]:
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary column: byte stats +
-    (stubbed) decode dims.  Batch shape: one numpy pass per Arrow batch."""
+    (stubbed) decode dims.
+
+    Fully vectorized per Arrow batch — all payloads are concatenated into ONE
+    byte buffer and per-doc byte histograms accumulated with a single
+    owner-indexed ``np.add.at`` over (owner, byte) pairs (the same
+    owner-index trick as simhash in dedup.py); no per-row Python loop.
+    """
     def feats(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                counts = np.bincount(buf, minlength=256)
-                probs = counts[counts > 0] / max(buf.size, 1)
-                entropy = float(-(probs * np.log2(probs)).sum()) if buf.size else 0.0
-                w, h = _decode_stub(buf)
-                rows.append((doc_id, int(buf.size), int((counts > 0).sum()),
-                             round(entropy, 6), w, h))
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_distinct_bytes",
-                                              "entropy", "fake_width", "fake_height"])
+            payloads = pdf["payload"].to_numpy()
+            lens = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            owner = np.repeat(np.arange(len(payloads)), lens)
+            # (n_docs, 256) histogram in one vectorized scatter-add
+            counts = np.zeros((len(payloads), 256), np.int64)
+            np.add.at(counts, (owner, flat), 1)
+            nz = counts > 0
+            denom = np.maximum(lens, 1).astype(np.float64)[:, None]
+            probs = np.where(nz, counts / denom, 1.0)  # log2(1)=0 for zeros
+            entropy = -(np.where(nz, probs * np.log2(probs), 0.0)).sum(axis=1)
+            widths = np.maximum(np.sqrt(lens).astype(np.int64), 1)
+            heights = np.maximum(lens // widths, 1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": lens,
+                "n_distinct_bytes": nz.sum(axis=1).astype(np.int32),
+                "entropy": np.round(entropy, 6),
+                "fake_width": widths.astype(np.int32),
+                "fake_height": heights.astype(np.int32),
+            })
 
     return df.select("doc_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
 

@@ -10,7 +10,7 @@ analog of the reference's in-memory ``Exist`` loop
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -23,8 +23,11 @@ _CACHE: dict[tuple, tuple] = {}
 
 
 def _cache_key(blob: bytes, kind: str) -> tuple:
-    # computed driver-side at UDF creation; stable across executors
-    return (kind, len(blob), zlib.crc32(blob))
+    # computed ONCE driver-side at UDF creation; stable across executors.
+    # cryptographic digest — same-kind sketches with identical params always
+    # have identical length, so a weak checksum would be the sole
+    # discriminator and a 32-bit collision would silently probe wrong state
+    return (kind, len(blob), hashlib.sha1(blob).hexdigest())
 
 
 def _get(bc, key: tuple):

@@ -266,15 +266,22 @@ def pipeline_oracles() -> dict[str, str]:
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents
         """,
+        # greatest(...,1) clamps mirror _decode_stub's max(...,1): an
+        # empty payload yields (width,height)=(1,1), never a 0-division
         "multimodal_meta": """
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-                   CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INTEGER)
-                       AS fake_width,
-                   CAST(floor(octet_length(CAST(text AS BLOB))
-                        / floor(sqrt(octet_length(CAST(text AS BLOB)))))
-                        AS INTEGER) AS fake_height
-            FROM documents
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+              FROM documents
+            ), w AS (
+              SELECT doc_id, n_bytes,
+                     greatest(CAST(floor(sqrt(n_bytes)) AS INTEGER), 1) AS fake_width
+              FROM m
+            )
+            SELECT doc_id, n_bytes, fake_width,
+                   greatest(CAST(floor(n_bytes / fake_width) AS INTEGER), 1)
+                       AS fake_height
+            FROM w
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
