@@ -117,6 +117,8 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         timed("embedding_cosine_topk", lambda: similarity.brute_force_topk(
             emb, list(range(10)), k=5).count())
+        timed("embedding_lsh_neardup", lambda: similarity.lsh_neardup_pairs(
+            emb, threshold=0.45, n_bits=4, n_tables=64).count())
 
     total = round(sum(results.values()), 3)
     build_secs = sum(results[k] for k in

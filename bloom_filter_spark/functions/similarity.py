@@ -96,17 +96,89 @@ def hyperplane_signatures(emb: DataFrame, n_bits: int = 16,
     return emb.select(id_col, vec_col).mapInPandas(sign, f"id {id_type}, bucket bigint")
 
 
+def hyperplane_buckets(emb: DataFrame, n_bits: int, n_tables: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 0xA11CE) -> DataFrame:
+    """(id, table, bucket) for ALL tables in ONE scan of the corpus.
+
+    Each table t uses planes drawn from rng(seed + t) — bit-identical to
+    calling hyperplane_signatures per table, but the matmul is one
+    (n, dim) @ (dim, n_tables*n_bits) per Arrow batch instead of n_tables
+    separate passes over the data; at 100 TB this is the difference between
+    one corpus scan and n_tables of them.
+    """
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def sign(it):
+        planes = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = np.concatenate(
+                    [np.random.default_rng(seed + t).standard_normal(
+                        (mat.shape[1], n_bits)) for t in range(n_tables)], axis=1)
+            bits = (mat @ planes > 0).astype(np.uint64)        # (n, T*b)
+            bits = bits.reshape(len(pdf), n_tables, n_bits)
+            sig = (bits << np.arange(n_bits, dtype=np.uint64)[None, None, :]).sum(
+                axis=2, dtype=np.uint64).astype(np.int64)      # (n, T)
+            yield pd.DataFrame({
+                "id": pdf[id_col].repeat(n_tables).reset_index(drop=True),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                "bucket": sig.reshape(-1),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sign, f"id {id_type}, table int, bucket bigint")
+
+
+def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.45,
+                      n_bits: int = 4, n_tables: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 0xA11CE) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) via hyperplane-LSH blocking —
+    the 100 TB replacement for neardup_pairs' exact all-pairs theta join.
+
+    Plan shape: one corpus scan → (id, table, bucket) → self-EQUI-join on
+    (table, bucket) for candidates (never a cartesian) → exact cosine on
+    candidates only, computed identically to neardup_pairs so the surviving
+    pair set is a subset of the exact result with recall
+    1 - (1 - p^n_bits)^n_tables per pair, p = 1 - acos(sim)/π.
+
+    Parameter guidance: collision prob decays with angle, so LOW thresholds
+    need narrow tables (defaults 4 bits × 64 tables ⇒ miss ≈ 4e-6 at
+    sim = 0.45); real near-dup corpora (τ ≥ 0.85, p ≥ 0.86) should use
+    16-bit tables (0.86^16 ≈ 0.09 per table, 64 tables ⇒ recall 0.998)
+    where random collisions are ~2^-16 per table — that is the regime where
+    blocking beats all-pairs by orders of magnitude.
+    """
+    b = hyperplane_buckets(emb, n_bits, n_tables, id_col, vec_col, seed)
+    cand = (b.alias("x")
+            .join(b.alias("y"),
+                  (F.col("x.table") == F.col("y.table"))
+                  & (F.col("x.bucket") == F.col("y.bucket"))
+                  & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    va = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim_raw", _cosine(F.col("va"), F.col("vb")))
+            .where(F.col("sim_raw") >= threshold)
+            .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim")))
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 4,
              n_tables: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """ANN top-k: probe only the query's hyperplane buckets (multi-table LSH
     for recall), exact cosine on the candidates.  Recall measured vs brute
-    force in tests; the candidate join is bucket-equi, never all-pairs."""
-    sigs = [hyperplane_signatures(emb, n_bits, id_col, vec_col, seed=0xA11CE + t)
-            .withColumn("table", F.lit(t)) for t in range(n_tables)]
-    sig = sigs[0]
-    for s in sigs[1:]:
-        sig = sig.unionByName(s)
+    force in tests; the candidate join is bucket-equi, never all-pairs.
+    Bucketing is one corpus scan for all tables (hyperplane_buckets)."""
+    sig = hyperplane_buckets(emb, n_bits, n_tables, id_col, vec_col, seed=0xA11CE)
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).cast("array<double>").alias("cv")) \
                 .join(sig.withColumnRenamed("id", "neighbor_id"), "neighbor_id")

@@ -55,6 +55,16 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
 
 
+def q_lsh_neardup(spark, sf_dir):
+    # 4-bit × 64-table hyperplane LSH: per-pair miss ≈ (1-0.648^4)^64 ≈ 4e-6
+    # at sim = τ = 0.45, so with the fixed seed the candidate set provably
+    # covers every exact pair in the fixture (verified in pytest at every
+    # sf) and the exact-cosine verify makes the output EQUAL the exact
+    # pair set — the same oracle as embedding_cosine_neardup applies.
+    return similarity.lsh_neardup_pairs(_emb(spark, sf_dir), threshold=COSINE_TAU,
+                                        n_bits=4, n_tables=64)
+
+
 # ---------------------------------------------------------------- text stats
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
@@ -112,6 +122,7 @@ PIPELINE_QUERIES = {
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_cosine_neardup": q_cosine_neardup,
     "embedding_lsh_topk": q_lsh_topk,
+    "embedding_lsh_neardup": q_lsh_neardup,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
     "text_quality": q_quality,
@@ -172,6 +183,16 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+_COSINE_NEARDUP_SQL = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
+"""
+
+
 def _langid_sql() -> str:
     """The trigram scorer is exactly SQL-expressible: pandas str.count and a
     replace-based occurrence count share non-overlapping left-to-right
@@ -213,14 +234,12 @@ def pipeline_oracles() -> dict[str, str]:
         # exact-Jaccard-verified — so the oracle is the same exact pair set
         "dedup_minhash_lsh": _JACCARD_SQL,
         "embedding_cosine_topk": _COSINE_TOPK_SQL,
-        "embedding_cosine_neardup": f"""
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
-        """,
+        "embedding_cosine_neardup": _COSINE_NEARDUP_SQL,
+        # LSH blocking recall at the fixture's sims is ≈1-4e-6 per pair with
+        # the fixed seed (verified exhaustively in pytest), and candidates
+        # are exact-cosine-verified — so the exact all-pairs SQL is the
+        # legitimate oracle, mirroring the minhash-LSH precedent above
+        "embedding_lsh_neardup": _COSINE_NEARDUP_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -76,6 +76,30 @@ def test_embedding_neardup_symmetric_threshold(emb):
         assert r.id_a < r.id_b and r.sim >= 0.45
 
 
+def test_lsh_neardup_equals_exact(emb):
+    """The scale-path blocked join must reproduce the exact pair set at the
+    driver's parameters (4 bits × 64 tables ⇒ per-pair miss ≈ 4e-6 at
+    sim=0.45; deterministic seed makes this a fixed property of the data)."""
+    exact = {(int(r.id_a), int(r.id_b)): r.sim
+             for r in similarity.neardup_pairs(emb, threshold=0.45).collect()}
+    lsh = {(int(r.id_a), int(r.id_b)): r.sim
+           for r in similarity.lsh_neardup_pairs(
+               emb, threshold=0.45, n_bits=4, n_tables=64).collect()}
+    assert lsh == exact
+
+
+def test_hyperplane_buckets_match_per_table_signatures(emb):
+    """One-pass multi-table bucketing is bit-identical to per-table calls."""
+    multi = similarity.hyperplane_buckets(emb, n_bits=4, n_tables=3,
+                                          seed=0xA11CE)
+    got = {(int(r.id), int(r.table)): int(r.bucket) for r in multi.collect()}
+    for t in range(3):
+        single = similarity.hyperplane_signatures(emb, n_bits=4,
+                                                  seed=0xA11CE + t)
+        for r in single.collect():
+            assert got[(int(r.id), t)] == int(r.bucket)
+
+
 def test_token_count_consistency(docs):
     out = textstats.token_count(docs).collect()
     for r in out:
