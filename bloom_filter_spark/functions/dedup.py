@@ -49,34 +49,67 @@ def _shingles(df: DataFrame, text_col: str, n: int = NGRAM) -> DataFrame:
             .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        threshold: float = 0.5, n: int = NGRAM) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+def _verify_pairs_exact_jaccard(cand: DataFrame, sh: DataFrame,
+                                threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the FULL shingle table → (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
 
-    Inverted-index plan: explode shingles once, self-equi-join on shingle
-    (Catalyst sort-merge/shuffle-hash on the shingle key — only co-occurring
-    docs pair up), count intersections, join per-doc shingle counts, filter.
+    The intersection join is keyed on (shingle, doc) — never on shingle
+    alone — so a high-df shingle is not a hot join key here; cost is
+    Σ|shingles(doc_a)| over candidates.  Candidates are joined plainly (no
+    forced broadcast): at 100 TB the candidate set is an unbounded
+    intermediate, so AQE decides broadcast vs shuffle from its real size.
+    Filters on the UNROUNDED ratio (mirrors the oracle's WHERE-then-round
+    order); rounds only the projected output column.
     """
-    sh = _shingles(df, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("i")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    # filter on the UNROUNDED ratio (mirrors the oracle's WHERE-then-round
-    # order); round only in the projected output column
-    return (inter
-            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+    left = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (left.join(sh_b, (F.col("shingle") == F.col("sh_b"))
+                       & (F.col("doc_b") == F.col("b_id")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jacc_raw",
-                        F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")))
+                        F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")))
             .where(F.col("jacc_raw") >= threshold)
             .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        threshold: float = 0.5, n: int = NGRAM,
+                        df_cap: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    Inverted-index plan: explode shingles once, generate candidate pairs by
+    self-equi-join on shingle (only co-occurring docs pair up), then verify
+    candidates with exact Jaccard over the FULL shingle table.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap from
+    the CANDIDATE join only (verification still counts them): one viral
+    boilerplate sentence shared by 1% of a 10^9-doc corpus would otherwise
+    pair quadratically on that single join key.  Results are identical to
+    the uncapped join whenever every qualifying pair shares ≥1 non-hot
+    shingle — guaranteed when df_cap exceeds the corpus' max shingle df
+    (always true for the driver fixtures), and at production scale a pair
+    that is τ-similar shares many shingles, overwhelmingly non-hot ones.
+    df_cap=None disables capping (unconditionally exact).
+    """
+    sh = _shingles(df, text_col, n).cache()
+    sh_cand = sh
+    if df_cap is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .where(F.col("df") > df_cap).select("shingle"))
+        sh_cand = sh.join(hot, "shingle", "left_anti")
+    a = sh_cand.alias("a")
+    b = sh_cand.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return _verify_pairs_exact_jaccard(cand, sh, threshold)
 
 
 # ---------------------------------------------------------------- MinHash LSH
@@ -159,23 +192,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
     # exact-Jaccard verify restricted to the candidate pairs (never the full
-    # co-occurrence join): broadcast the small candidate set through the
-    # shingle table twice, count intersections, join sizes
+    # co-occurrence join); candidates join plainly — at corpus scale the
+    # candidate set is an unbounded intermediate (a forced broadcast of it
+    # OOMs on dirty data), AQE broadcasts when it is actually small
     sh = _shingles(df, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    left = (F.broadcast(cand)
-            .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
-    inter = (left.join(sh_b, (F.col("shingle") == F.col("sh_b"))
-                       & (F.col("doc_b") == F.col("b_id")))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jacc_raw",
-                        F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")))
-            .where(F.col("jacc_raw") >= threshold)
-            .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
+    return _verify_pairs_exact_jaccard(cand, sh, threshold)
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",

@@ -26,6 +26,40 @@ def exact_pairs(docs):
             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
 
 
+def test_ngram_df_cap_bounds_hot_shingle_join(spark):
+    """A boilerplate shingle shared by every doc must not blow up the
+    candidate join: with df_cap the capped inverted index drops the hot key
+    entirely, while output pairs stay identical to the uncapped run."""
+    n_docs = 120
+    rows = []
+    for i in range(n_docs):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        rows.append((i, f"common boiler plate {uniq}"))
+    # two planted duplicates of doc 0
+    rows.append((n_docs, rows[0][1]))
+    rows.append((n_docs + 1, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in
+              dedup.ngram_jaccard_pairs(df, threshold=0.5, df_cap=50).collect()}
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard for r in
+                dedup.ngram_jaccard_pairs(df, threshold=0.5, df_cap=None).collect()}
+    assert capped == uncapped
+    assert {(0, n_docs), (0, n_docs + 1), (n_docs, n_docs + 1)} <= set(capped)
+
+    # the capped index must actually bound the join: the hot shingles
+    # ('common boiler plate', 'boiler plate u*', ...) with df > 50 are gone,
+    # so the self-join input has no key with more than df_cap rows
+    sh = dedup._shingles(df, "text")
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .where(F.col("df") > 50).select("shingle"))
+    assert hot.count() >= 1  # the fixture is genuinely adversarial
+    capped_index = sh.join(hot, "shingle", "left_anti")
+    max_df = (capped_index.groupBy("shingle").agg(F.count("*").alias("df"))
+              .agg(F.max("df")).collect()[0][0])
+    assert max_df <= 50
+
+
 def test_exact_dedup_groups(docs):
     out = dedup.exact_dedup(docs)
     assert out.count() == out.select("text_hash").distinct().count()
