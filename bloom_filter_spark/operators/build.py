@@ -176,9 +176,9 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
 
     if not supports_weights and sketch.kind not in ("bloom", "blocked_bloom", "hll"):
         raise ValueError(f"pre-aggregated build unsupported for {sketch.kind}")
-    from .merge import merge_partials_collect
+    from .merge import merge_partials_auto
     partials = counts.mapInArrow(partial_fn, PARTIAL_SCHEMA)
-    return merge_partials_collect(partials, sketch)
+    return merge_partials_auto(partials, sketch)
 
 
 def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
@@ -187,13 +187,14 @@ def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
                  tree_merge: bool | None = None) -> tuple[bytes, int]:
     """Full build: partials → merge → (final state blob, n_items).
 
-    Merge strategy: driver-side fold by default (one job — the partials are
-    one small row per partition); ``tree_merge=True`` forces the fanin-ary
-    applyInPandas tree for huge partial fleets (P ≫ fanin) or oversized
-    states.  If ``checkpoint`` and ``sketch_id`` are given, partial and
-    final states are persisted with lineage — resumable builds.
+    Merge strategy: AUTO by default — driver-side fold (one job) while
+    P × |state| stays under merge.AUTO_TREE_THRESHOLD_BYTES, the fanin-ary
+    applyInPandas tree beyond it (thousands of GB-scale Bloom partials must
+    never be collect()ed).  ``tree_merge=True``/``False`` forces a path.
+    If ``checkpoint`` and ``sketch_id`` are given, partial and final states
+    are persisted with lineage — resumable builds.
     """
-    from .merge import merge_partials_collect
+    from .merge import merge_partials_auto, merge_partials_collect
     partials = build_partials(df, sketch, col, value_kind, repartition)
     if checkpoint is not None and sketch_id is not None:
         partials = checkpoint.write_partials(sketch_id, sketch, partials,
@@ -201,6 +202,8 @@ def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
     if tree_merge:
         row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
         blob, n_items = bytes(row.state), int(row.n_items)
+    elif tree_merge is None:
+        blob, n_items = merge_partials_auto(partials, sketch, fanin=fanin)
     else:
         blob, n_items = merge_partials_collect(partials, sketch)
     if checkpoint is not None and sketch_id is not None:

@@ -54,13 +54,44 @@ def merge_partials_collect(partials: DataFrame, sketch) -> tuple[bytes, int]:
     Correct choice when P × |state| is small (a few hundred MB-scale blobs):
     the tree's extra persist/count/shuffle jobs cost ~0.5-1 s of fixed
     latency each, which dominates short builds and caps scaling efficiency.
-    SURVEY.md §3.1: 'final merge (single task or driver)'.
+    SURVEY.md §3.1: 'final merge (single task or driver)'.  Rows are folded
+    in partition_id order so the result is reproducible and identical to the
+    tree path for order-sensitive merges (KLL/t-digest compaction).
     """
-    rows = partials.collect()
+    rows = sorted(partials.collect(), key=lambda r: r.partition_id)
     if not rows:
         return sketch.serialize(sketch.empty()), 0
     return merge_blobs(sketch, [r.state for r in rows],
                        sum(r.n_items for r in rows))
+
+
+# driver fold above this much partial state would strain driver memory —
+# route to the executor-side tree instead.  At p=0.01 / n=10^9 a Bloom
+# partial is ~1.2 GB; thousands of such partials must never be collect()ed.
+AUTO_TREE_THRESHOLD_BYTES = 256 << 20
+
+
+def state_size_estimate(sketch) -> int:
+    """Driver-side serialized-size estimate: exact for fixed-size states
+    (bloom / blocked_bloom / hll / cms — the big ones), a lower bound for
+    the small variable-size sketches (KLL/t-digest/MG/reservoir, all ≤ a
+    few hundred KB by construction, never the routing concern)."""
+    return len(sketch.serialize(sketch.empty()))
+
+
+def merge_partials_auto(partials: DataFrame, sketch, fanin: int = 64,
+                        threshold_bytes: int = AUTO_TREE_THRESHOLD_BYTES
+                        ) -> tuple[bytes, int]:
+    """Merge-strategy router: driver fold when P × |state| is small, the
+    fanin-ary executor tree when collecting the partials would blow the
+    driver (the caller no longer has to remember a flag at 1000-executor
+    scale).  P is read from the partials plan (one row per input partition
+    by construction — no job is triggered)."""
+    est_rows = partials.rdd.getNumPartitions()
+    if est_rows * state_size_estimate(sketch) > threshold_bytes:
+        row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
+        return bytes(row.state), int(row.n_items)
+    return merge_partials_collect(partials, sketch)
 
 
 def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFrame:
@@ -69,6 +100,7 @@ def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFra
     of partials (P ≫ fanin) where a driver collect would be the bottleneck;
     otherwise prefer merge_partials_collect."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("partition_id")  # reproducible fold order
         blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
         return pd.DataFrame({"partition_id": [int(pdf["grp"].iloc[0])],
                              "n_items": [n], "state": [blob]})
@@ -78,7 +110,6 @@ def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFra
     while count > 1:
         nxt = (
             df.withColumn("grp", F.floor(F.col("partition_id") / fanin))
-              .drop("partition_id")
               .groupBy("grp")
               .applyInPandas(merge_group, PARTIAL_SCHEMA)
               .persist()

@@ -66,6 +66,27 @@ def test_merge_tree_multilevel(spark, tokens_df):
     assert bytes(row.state) == blob
 
 
+def test_merge_auto_routes_by_state_volume(spark, tokens_df):
+    """The router must pick the executor tree when P x |state| exceeds the
+    threshold and the driver fold otherwise — byte-identical results."""
+    from bloom_filter_spark.operators.merge import (
+        merge_partials_auto, merge_partials_collect, state_size_estimate)
+    sketch = BloomSketch(BloomParams(n=60_000, p=0.01))
+    partials = build_partials(tokens_df, sketch, "tokens", "i32_array",
+                              repartition=16).cache()
+    collect_blob, n1 = merge_partials_collect(partials, sketch)
+    # threshold 0 forces the tree path (any P x |state| exceeds it)
+    tree_blob, n2 = merge_partials_auto(partials, sketch, fanin=4,
+                                        threshold_bytes=0)
+    # huge threshold forces the driver fold
+    fold_blob, n3 = merge_partials_auto(partials, sketch,
+                                        threshold_bytes=1 << 60)
+    partials.unpersist()
+    assert collect_blob == tree_blob == fold_blob
+    assert n1 == n2 == n3
+    assert state_size_estimate(sketch) > 0
+
+
 def test_hll_distributed_estimate(spark, tokens_df):
     sketch = HLLSketch(HLLParams(b=14))
     blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array")
