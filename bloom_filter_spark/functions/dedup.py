@@ -10,7 +10,8 @@ Five families, in increasing fuzziness:
                    the scale path: candidate generation is linear in docs ×
                    bands, the verify join touches only bucket collisions
   simhash        — 64-bit simhash of word features; near-dup = hamming ≤ k
-                   within LSH bands of the simhash
+                   via multi-probe 16-bit LSH bands (exact recall for
+                   k ≤ (radius+1)·bands−1 by pigeonhole)
   embedding near-dup lives in similarity.py (cosine ≥ τ)
 
 All signature math is numpy over Arrow batches (mapInPandas); joins and
@@ -242,48 +243,89 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
 
 
 # ---------------------------------------------------------------- SimHash
+def simhash_signatures_np(texts, seed: int = 0x51A5_4A54) -> np.ndarray:
+    """uint64 SimHash per text — one vectorized scatter-add per batch.
+
+    Shared by the Spark kernel (mapInPandas below) and the DuckDB-oracle
+    fixture generator (plans/pipeline_queries.py): signature parity between
+    the two paths is what lets a brute-force all-pairs hamming join in
+    DuckDB act as the exact oracle for the banded Spark plan.
+    """
+    texts = pd.Series(texts).reset_index(drop=True)
+    if not len(texts):
+        return np.empty(0, np.uint64)
+    words = texts.str.split(" ")
+    lens = words.str.len().to_numpy()
+    flat = np.concatenate([np.asarray(w, object) for w in words])
+    h = hashing.hash64_str(flat, seed)
+    owner = np.repeat(np.arange(len(texts)), lens)
+    # (n_words, 64) ±1 contributions, one scatter-add over the owner index
+    contrib = ((((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                 & np.uint64(1)).astype(np.int32)) * 2 - 1)
+    acc = np.zeros((len(texts), 64), np.int32)
+    np.add.at(acc, owner, contrib)
+    bits = (acc > 0).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
-                  n_bands: int = 8, seed: int = 0x51A5_4A54) -> DataFrame:
+                  n_bands: int = 4, probe_radius: int = 1,
+                  seed: int = 0x51A5_4A54) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
-    Candidate generation: n_bands equal slices of the simhash; by pigeonhole
-    any pair with hamming < n_bands agrees on ≥1 band, so recall is EXACT
-    for max_hamming ≤ n_bands-1 (default 8 bands × 8 bits, h ≤ 7 — measured
-    hamming of 0.9-jaccard near-dup docs is 1-5).  At larger corpus sizes
-    8-bit bands collide heavily (n²/256 candidates per band); scale deploys
-    use 16-bit bands with h ≤ 3 or multi-probe — parameterized here.
+    Candidate generation: n_bands equal slices of the simhash with
+    MULTI-PROBE — one join side also emits every bucket within
+    ``probe_radius`` bit flips of its band value, so two docs collide
+    whenever some band differs by ≤ probe_radius bits.  By pigeonhole a
+    pair with hamming ≤ (probe_radius+1)·n_bands − 1 has such a band ⇒
+    recall is EXACT for the defaults (4 bands × 16 bits, radius 1: h ≤ 7).
+
+    Scale behavior: 16-bit bands have 65536 buckets, so random collisions
+    are ~n²/2¹⁶ per band (vs n²/2⁸ for the old 8-bit default) at the cost
+    of 17 probe rows per (doc, band).  probe_radius=0 recovers plain
+    banding (recall exact only for h ≤ n_bands−1).
     """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > (probe_radius + 1) * n_bands - 1:
+        raise ValueError(
+            f"recall is not exact for max_hamming={max_hamming} with "
+            f"{n_bands} bands at probe_radius={probe_radius}; raise one of them")
     id_type = _id_type(df)
 
     def sim(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            docs = pdf["doc_id"]
-            sigs = np.zeros(len(pdf), np.uint64)
-            # vectorized per-batch: explode words → weight ±1 per bit
-            words = pdf[text_col].str.split(" ")
-            lens = words.str.len().to_numpy()
-            flat = np.concatenate([np.asarray(w, object) for w in words])
-            h = hashing.hash64_str(flat, seed)
-            owner = np.repeat(np.arange(len(pdf)), lens)
-            acc = np.zeros((len(pdf), 64), np.int64)
-            for bit in range(64):
-                contrib = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
-                np.add.at(acc[:, bit], owner, contrib)
-            bits = (acc > 0).astype(np.uint64)
-            sigs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-            yield pd.DataFrame({"doc_id": docs, "simhash": sigs.astype(np.int64)})
+            sigs = simhash_signatures_np(pdf[text_col], seed)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "simhash": sigs.astype(np.int64)})
 
     sig = df.select("doc_id", text_col) \
             .mapInPandas(sim, f"doc_id {id_type}, simhash bigint")
     band_bits = 64 // n_bands
     band_mask = (1 << band_bits) - 1
-    bands = sig.select("doc_id", "simhash", F.posexplode(F.array(
-        *[F.shiftrightunsigned("simhash", i * band_bits).bitwiseAND(F.lit(band_mask))
-          for i in range(n_bands)])).alias("band", "bucket"))
-    cand = (bands.alias("x").join(
-        bands.alias("y"),
+    band_val = [
+        F.shiftrightunsigned("simhash", i * band_bits).bitwiseAND(F.lit(band_mask))
+        for i in range(n_bands)]
+    exact = sig.select("doc_id", "simhash", F.posexplode(
+        F.array(*band_val)).alias("band", "bucket"))
+    # probe side: each band value plus every single-bit flip within the band
+    # (radius 1) — a pair lands in the same (band, bucket) iff some band
+    # differs by ≤ probe_radius bits
+    def probes(v):
+        out = [v]
+        for r in range(probe_radius):
+            out = [p.bitwiseXOR(F.lit(1 << j)) for p in out for j in range(band_bits)] + out
+        return out
+
+    probed = sig.select("doc_id", "simhash", F.posexplode(F.array(*[
+        F.array(*probes(v)) for v in band_val])).alias("band", "buckets")) \
+        .select("doc_id", "simhash", "band",
+                F.explode(F.array_distinct("buckets")).alias("bucket"))
+    cand = (exact.alias("x").join(
+        probed.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
         & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("x.simhash").alias("sig_a"),

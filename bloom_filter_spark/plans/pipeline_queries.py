@@ -8,6 +8,8 @@ correctness check (exact value-hash equality, no fixture indirection).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions import dedup, multimodal, relational, similarity, textstats
@@ -193,6 +195,42 @@ _COSINE_NEARDUP_SQL = f"""
 """
 
 
+def _simhash_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Signature table for the dedup_simhash oracle: simhash per doc computed
+    DRIVER-SIDE with plain pandas/numpy over the documents parquet (no Spark
+    — an independent execution path from the mapInPandas kernel), written
+    once to the fixture root.  The DuckDB oracle brute-forces all-pairs
+    hamming over it, which checks BOTH the distributed signature computation
+    and the multi-probe banding's exact-recall claim.
+    """
+    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    sf_name = sf_name_of_dir(sf_dir)
+    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name,
+                       "simhash_sigs.parquet")
+    if not os.path.exists(out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        sigs = dedup.simhash_signatures_np(t.column("text").to_pandas())
+        pq.write_table(pa.table({"doc_id": t.column("doc_id"),
+                                 "sig": pa.array(sigs.astype("int64"))}),
+                       out)
+    return out
+
+
+def _simhash_sql() -> str:
+    path = _simhash_fixture()
+    return f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM read_parquet('{path}') a
+        JOIN read_parquet('{path}') b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 7
+    """
+
+
 def _langid_sql() -> str:
     """The trigram scorer is exactly SQL-expressible: pandas str.count and a
     replace-based occurrence count share non-overlapping left-to-right
@@ -223,6 +261,10 @@ def _langid_sql() -> str:
 def pipeline_oracles() -> dict[str, str]:
     return {
         "text_langid": _langid_sql(),
+        # brute-force all-pairs hamming over driver-side-recomputed
+        # signatures: exact recall of the multi-probe banding is a theorem
+        # (pigeonhole, h ≤ (radius+1)·bands−1), so the pair sets must be EQUAL
+        "dedup_simhash": _simhash_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
                    min(doc_id) AS keep_doc_id
@@ -360,6 +402,7 @@ def pipeline_oracles() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_price
             FROM lineitem GROUP BY 1
         """,
-        # dedup_simhash, embedding_lsh_topk: recall-bounded operators —
-        # deliberately rows-only (no SQL-expressible exact oracle)
+        # embedding_lsh_topk: recall-bounded ANN (~0.5-0.7 on weak-signal
+        # random embeddings) — deliberately rows-only, brute-force topk is
+        # the oracle-matched operator
     }

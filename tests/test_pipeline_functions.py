@@ -82,6 +82,34 @@ def test_simhash_catches_neardups(docs, exact_pairs):
     assert not missed, f"simhash missed strong near-dups: {missed}"
 
 
+def test_simhash_multiprobe_equals_bruteforce_hamming(docs):
+    """4×16-bit multi-probe banding must return EXACTLY the pairs a
+    brute-force all-pairs hamming join over the signatures returns (recall
+    is a pigeonhole theorem for h ≤ 7, precision from the verify filter)."""
+    import pandas as pd
+    banded = {(int(r.doc_a), int(r.doc_b)): r.hamming for r in
+              dedup.simhash_pairs(docs, max_hamming=7).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    sigs = dedup.simhash_signatures_np(pdf["text"])
+    ids = pdf["doc_id"].to_numpy()
+    def popcount64(x):
+        x = np.atleast_1d(np.asarray(x, np.uint64))
+        return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+    brute = {}
+    for i in range(len(ids)):
+        ham = popcount64(sigs[i] ^ sigs[i + 1:])
+        for j in np.flatnonzero(ham <= 7):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            brute[(min(a, b), max(a, b))] = int(ham[j])
+    assert banded == brute
+
+
+def test_simhash_rejects_unsound_params(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=8, n_bands=4, probe_radius=1)
+
+
 def test_brute_force_topk_shape_and_selfcheck(emb):
     out = similarity.brute_force_topk(emb, [0, 1, 2], k=5).collect()
     assert len(out) == 15
