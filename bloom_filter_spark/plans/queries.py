@@ -128,14 +128,31 @@ def q_blocked_bloom_membership(spark, sf_dir):
     return present.select("token", probe("token").alias("member")).distinct()
 
 
+_CUCKOO_STATES_CACHE: dict[str, list] = {}
+
+
+def _cuckoo_states(spark, sf_dir):
+    """Grouped single-writer cuckoo states per source, built once per sf and
+    shared by the membership and delete queries (the build is the expensive
+    part; states are 8 small rows)."""
+    key = sf_name_of_dir(sf_dir)
+    if key not in _CUCKOO_STATES_CACHE:
+        toks = _tokens(spark, sf_dir)
+        n_per_group = rows_for_sf(key)  # upper bound per group
+        states = build_grouped_single_writer(
+            toks, "cuckoo", CuckooParams(n=max(n_per_group, 64), load_factor=0.8),
+            "source", "doc_id", "str")
+        _CUCKOO_STATES_CACHE[key] = states.collect()
+    return spark.createDataFrame(
+        _CUCKOO_STATES_CACHE[key],
+        "group string, n_items long, n_failed long, state binary")
+
+
 def q_cuckoo_doc_membership(spark, sf_dir):
     """Grouped single-writer cuckoo per source over doc_ids; every inserted
     doc probes true (zero FN, delete capability tested in pytest)."""
     toks = _tokens(spark, sf_dir)
-    n_per_group = rows_for_sf(sf_name_of_dir(sf_dir))  # upper bound per group
-    states = build_grouped_single_writer(
-        toks, "cuckoo", CuckooParams(n=max(n_per_group, 64), load_factor=0.8),
-        "source", "doc_id", "str")
+    states = _cuckoo_states(spark, sf_dir)
     import pandas as pd
 
     def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -148,6 +165,55 @@ def q_cuckoo_doc_membership(spark, sf_dir):
     return (joined.groupBy("source")
             .applyInPandas(probe_group, "doc_id string, member boolean")
             .select("doc_id", "member"))
+
+
+def q_cuckoo_delete_probe(spark, sf_dir):
+    """Reference delete capability (/root/reference/filter/cuckoo/filter.go:87-106,
+    multiset: remove ONE fingerprint copy) as a driver query: grouped
+    single-writer build over all doc_ids, delete the odd-parity half
+    (parity of the doc_id's last character — SQL-expressible), probe both
+    halves.  Invariants: every delete finds its key; kept keys must ALL stay
+    present (removing an inserted key's own copy can never false-negative a
+    remaining key); deleted keys may only false-positive within the
+    fingerprint-collision bound (8 occupied-slot comparisons × ~0.4 load
+    / 256 fingerprints ≈ 1.2% ≪ the 5% bound checked here)."""
+    toks = _tokens(spark, sf_dir)
+    states = _cuckoo_states(spark, sf_dir)
+    import numpy as np
+    import pandas as pd
+
+    def del_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf, state = CuckooFilter.deserialize(bytes(pdf["state"].iloc[0]))
+        parity = pdf["doc_id"].str[-1].map(ord) % 2
+        kept = pdf["doc_id"][parity == 0].tolist()
+        dele = pdf["doc_id"][parity == 1].tolist()
+        removed = cf.delete_str(state, dele) if dele else np.empty(0, bool)
+        kept_member = cf.contains_str(state, kept) if kept else np.empty(0, bool)
+        del_member = cf.contains_str(state, dele) if dele else np.empty(0, bool)
+        return pd.DataFrame({
+            "n_kept": [len(kept)],
+            "kept_missing": [int((~kept_member).sum())],
+            "n_deleted": [len(dele)],
+            "deletes_found": [int(removed.sum())],
+            "deleted_still_member": [int(del_member.sum())],
+        })
+
+    docs = toks.select("source", "doc_id")
+    joined = docs.join(F.broadcast(states.withColumnRenamed("group", "source")),
+                       "source")
+    per_group = joined.groupBy("source").applyInPandas(
+        del_probe, "n_kept long, kept_missing long, n_deleted long, "
+                   "deletes_found long, deleted_still_member long")
+    agg = per_group.agg(
+        F.sum("n_kept").alias("n_kept"), F.sum("kept_missing").alias("km"),
+        F.sum("n_deleted").alias("n_del"), F.sum("deletes_found").alias("df"),
+        F.sum("deleted_still_member").alias("fp")).collect()[0]
+    fp_rate = (agg.fp / agg.n_del) if agg.n_del else 0.0
+    return spark.createDataFrame(
+        [(int(agg.n_kept), bool(agg.km == 0), int(agg.n_del),
+          bool(agg.df == agg.n_del), bool(fp_rate <= 0.05))],
+        "n_kept bigint, kept_all_present boolean, n_deleted bigint, "
+        "all_deletes_found boolean, deleted_fp_bounded boolean")
 
 
 # --------------------------------------------------------------------------
@@ -413,6 +479,7 @@ SKETCH_QUERIES = {
     "bloom_doc_membership": q_bloom_doc_membership,
     "blocked_bloom_membership": q_blocked_bloom_membership,
     "cuckoo_doc_membership": q_cuckoo_doc_membership,
+    "cuckoo_delete_probe": q_cuckoo_delete_probe,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "hll_distinct_per_source": q_hll_distinct_per_source,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -448,6 +515,16 @@ def sketch_oracles() -> dict[str, str]:
         """,
         "cuckoo_doc_membership":
             f"SELECT doc_id, TRUE AS member FROM {tok}",
+        "cuckoo_delete_probe": f"""
+            SELECT CAST(sum(CASE WHEN ascii(right(doc_id, 1)) % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   TRUE AS kept_all_present,
+                   CAST(sum(CASE WHEN ascii(right(doc_id, 1)) % 2 = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                   TRUE AS all_deletes_found,
+                   TRUE AS deleted_fp_bounded
+            FROM {tok}
+        """,
         "hll_distinct_tokens": f"""
             SELECT count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
             FROM (SELECT unnest(tokens) AS t FROM {tok})
