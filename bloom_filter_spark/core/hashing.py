@@ -5,11 +5,13 @@ Kirsch–Mitzenmacher index expansion → power-of-two mask):
   - /root/reference/filter/hash.go:5-14   (DoubleHash)
   - /root/reference/filter/bloom/filter.go:34-47 (xxh3 → h1/h2 → k indices)
 
-The reference hashes with xxh3/metro (no Python bindings available in this
-environment), so the mixer here is splitmix64 (Steele/Lea/Vigna, public
-domain) — the *structure* and all behavioral invariants (determinism, k-index
-expansion, pow-2 masking) are identical; bit-parity with Go xxh3 is not a
-north-rule requirement (invariants are behavioral, see SURVEY.md §7).
+The engine-default mixer is splitmix64 (Steele/Lea/Vigna, public domain) —
+fast, seedable, and behaviorally identical in structure (determinism,
+k-index expansion, pow-2 masking).  For BIT-parity with the reference's
+xxh3 (so a Go-built Bloom blob probes correctly), core/xxh3.py implements
+vectorized XXH3-64 for keys ≤ 16 bytes (all int32/int64 tokens), validated
+against the published sanity vectors; select it with
+BloomParams(hash_family="xxh3").
 
 Unlike the reference's Bloom filter — whose stored Seed is never actually
 used in hashing (quirk Q1, /root/reference/filter/bloom/filter.go:30,39) —

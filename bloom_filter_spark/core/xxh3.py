@@ -1,0 +1,221 @@
+"""Vectorized XXH3-64 for short inputs (0-16 bytes) — bit-parity with the
+reference's hash (github.com/zeebo/xxh3 == upstream XXH3, used at
+/root/reference/filter/bloom/filter.go:35-50).
+
+Covers every fixed-width token key (int32/int64 = 4/8-byte little-endian
+patterns, the north-rule workload) and arbitrary byte keys up to 16 bytes;
+longer inputs raise (the ≥17-byte paths need the full mix16B/accumulator
+machinery — out of scope until a workload needs string parity).
+
+Correctness anchors: the implementation reproduces the four published
+xxHash sanity vectors (xsum_sanity_check.c test buffer, seed=0):
+
+    len=0  -> 0x2D06800538D394C2
+    len=1  -> 0xC44BDFF4074EECDB
+    len=6  -> 0x27B56A84CD2D7325
+    len=12 -> 0xA713DAF0DFBB77E7
+
+checked in tests/test_xxh3.py, which also probes a byte-identical
+reference-layout Bloom blob built by an independent scalar implementation.
+
+All arithmetic is numpy uint64 with wrapping semantics (matching C/Go).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_M64 = (1 << 64) - 1
+
+# XXH3_kSecret — the default 192-byte secret from xxhash.h (public domain).
+_SECRET = bytes.fromhex(
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d316552629d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e")
+
+
+def _r32(o: int) -> int:
+    return int.from_bytes(_SECRET[o:o + 4], "little")
+
+
+def _r64(o: int) -> int:
+    return int.from_bytes(_SECRET[o:o + 8], "little")
+
+
+_PRIME64_2 = U64(0xC2B2AE3D27D4EB4F)
+_PRIME64_3 = U64(0x165667B19E3779F9)
+_PRIME_MX1 = U64(0x165667919E3779F9)   # XXH3 avalanche multiplier
+_PRIME_MX2 = U64(0x9FB21C651E98DF25)   # rrmxmx multiplier
+
+
+def _xxh64_avalanche(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> U64(33))
+        h = h * _PRIME64_2
+        h = h ^ (h >> U64(29))
+        h = h * _PRIME64_3
+        h = h ^ (h >> U64(32))
+    return h
+
+
+def _xxh3_avalanche(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> U64(37))
+        h = h * _PRIME_MX1
+        h = h ^ (h >> U64(32))
+    return h
+
+
+def _rotl(x: np.ndarray, n: int) -> np.ndarray:
+    return (x << U64(n)) | (x >> U64(64 - n))
+
+
+def _rrmxmx(x: np.ndarray, length: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x ^ (_rotl(x, 49) ^ _rotl(x, 24))
+        x = x * _PRIME_MX2
+        x = x ^ ((x >> U64(35)) + U64(length))
+        x = x * _PRIME_MX2
+        x = x ^ (x >> U64(28))
+    return x
+
+
+def _mul128_fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Full 64x64->128 product folded lo^hi, via 32-bit limbs (numpy has no
+    128-bit ints): a*b = (ah*bh)<<64 + (ah*bl + al*bh)<<32 + al*bl."""
+    mask32 = U64(0xFFFFFFFF)
+    al, ah = a & mask32, a >> U64(32)
+    bl, bh = b & mask32, b >> U64(32)
+    with np.errstate(over="ignore"):
+        ll = al * bl                       # 64-bit exact
+        lh = al * bh                       # 64-bit exact (fits: 32x32)
+        hl = ah * bl
+        hh = ah * bh
+        # low 64: ll + ((lh + hl) << 32)  with carries into high 64
+        cross = lh + (ll >> U64(32))       # no overflow: ≤ 2^64-2^33
+        cross_lo = cross & mask32
+        cross_hi = cross >> U64(32)
+        cross2 = hl + cross_lo             # ≤ 2^64-2^33, no overflow
+        lo = (ll & mask32) | ((cross2 & mask32) << U64(32))
+        hi = hh + cross_hi + (cross2 >> U64(32))
+    return lo ^ hi
+
+
+def _mixed_seed(seed: int) -> int:
+    """len 4-8 path: seed ^= (u64)swap32((u32)seed) << 32."""
+    lo = seed & 0xFFFFFFFF
+    return (seed ^ (int.from_bytes(lo.to_bytes(4, "little"), "big") << 32)) & _M64
+
+
+def xxh3_64_i32(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH3-64 of each int32's 4-byte little-endian pattern (len=4 path:
+    input1 == input2 == the single 32-bit word)."""
+    v = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(U64)
+    bitflip = U64(((_r64(8) ^ _r64(16)) - _mixed_seed(seed)) & _M64)
+    with np.errstate(over="ignore"):
+        x = (v + (v << U64(32))) ^ bitflip
+    return _rrmxmx(x, 4)
+
+
+def xxh3_64_i64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH3-64 of each int64's 8-byte little-endian pattern (len=8 path:
+    input1 = low word, input2 = high word; input64 = hi + (lo << 32))."""
+    v = np.ascontiguousarray(values, dtype=np.int64).view(U64)
+    lo = v & U64(0xFFFFFFFF)
+    hi = v >> U64(32)
+    bitflip = U64(((_r64(8) ^ _r64(16)) - _mixed_seed(seed)) & _M64)
+    with np.errstate(over="ignore"):
+        x = (hi + (lo << U64(32))) ^ bitflip
+    return _rrmxmx(x, 8)
+
+
+def _gather_u64(mat: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Little-endian u64 read at per-row byte offset from a (N, W) matrix."""
+    idx = off[:, None] + np.arange(8)
+    b = mat[np.arange(mat.shape[0])[:, None], idx].astype(U64)
+    return (b << (U64(8) * np.arange(8, dtype=U64)[None, :])).sum(
+        axis=1, dtype=U64)
+
+
+def xxh3_64_bytes(values, seed: int = 0,
+                  lengths: np.ndarray | None = None) -> np.ndarray:
+    """XXH3-64 of variable-length byte keys, all ≤ 16 bytes.
+
+    Keys are packed into a padded uint8 matrix and processed per length
+    class (0 / 1-3 / 4-8 / 9-16) with masked vectorized kernels.  True
+    lengths are taken from the Python objects (trailing NULs preserved).
+    """
+    vlist = values if isinstance(values, (list, tuple)) else list(values)
+    n = len(vlist)
+    if lengths is None:
+        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
+    else:
+        lengths = np.asarray(lengths, np.intp)
+    if n == 0:
+        return np.empty(0, U64)
+    if lengths.max(initial=0) > 16:
+        raise NotImplementedError(
+            "xxh3 parity implemented for keys ≤ 16 bytes (int32/int64 tokens "
+            "and short ids); longer keys need the mix16B/accumulator paths")
+    mat = np.zeros((n, 24), np.uint8)  # 16 payload + 8 slack for gathers
+    for i, v in enumerate(vlist):
+        if len(v):
+            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
+    out = np.empty(n, U64)
+
+    m0 = lengths == 0
+    if m0.any():
+        h0 = U64((seed ^ _r64(56) ^ _r64(64)) & _M64)
+        out[m0] = _xxh64_avalanche(np.full(int(m0.sum()), h0, U64))
+
+    m13 = (lengths >= 1) & (lengths <= 3)
+    if m13.any():
+        sub = np.flatnonzero(m13)
+        ln = lengths[sub]
+        c1 = mat[sub, 0].astype(np.uint32)
+        c2 = mat[sub, ln >> 1].astype(np.uint32)
+        c3 = mat[sub, ln - 1].astype(np.uint32)
+        combined = ((c1 << 16) | (c2 << 24) | c3
+                    | (ln.astype(np.uint32) << 8)).astype(U64)
+        bitflip = U64(((_r32(0) ^ _r32(4)) + seed) & _M64)
+        out[sub] = _xxh64_avalanche(combined ^ bitflip)
+
+    m48 = (lengths >= 4) & (lengths <= 8)
+    if m48.any():
+        sub = np.flatnonzero(m48)
+        ln = lengths[sub]
+        in1 = _gather_u64(mat[sub], np.zeros(len(sub), np.intp)) & U64(0xFFFFFFFF)
+        in2 = _gather_u64(mat[sub], ln - 4) & U64(0xFFFFFFFF)
+        bitflip = U64(((_r64(8) ^ _r64(16)) - _mixed_seed(seed)) & _M64)
+        with np.errstate(over="ignore"):
+            x = (in2 + (in1 << U64(32))) ^ bitflip
+            x = x ^ (_rotl(x, 49) ^ _rotl(x, 24))
+            x = x * _PRIME_MX2
+            x = x ^ ((x >> U64(35)) + ln.astype(U64))
+            x = x * _PRIME_MX2
+            x = x ^ (x >> U64(28))
+        out[sub] = x
+
+    m916 = lengths >= 9
+    if m916.any():
+        sub = np.flatnonzero(m916)
+        ln = lengths[sub]
+        bf1 = U64(((_r64(24) ^ _r64(32)) + seed) & _M64)
+        bf2 = U64(((_r64(40) ^ _r64(48)) - seed) & _M64)
+        in_lo = _gather_u64(mat[sub], np.zeros(len(sub), np.intp)) ^ bf1
+        in_hi = _gather_u64(mat[sub], ln - 8) ^ bf2
+        swapped = in_lo.byteswap()
+        with np.errstate(over="ignore"):
+            acc = (ln.astype(U64) + swapped + in_hi
+                   + _mul128_fold64(in_lo, in_hi))
+        out[sub] = _xxh3_avalanche(acc)
+    return out
+
+
+def xxh3_64(data: bytes, seed: int = 0) -> int:
+    """Scalar convenience wrapper (≤16 bytes)."""
+    return int(xxh3_64_bytes([data], seed)[0])

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core import hashing
+from ..core import hashing, xxh3
 from ..core.serde import Reader, pack_u32, pack_u64
 from .base import register
 
@@ -41,6 +41,12 @@ class BloomParams:
     n: int
     p: float
     seed: int = hashing.DEFAULT_SEED
+    # "splitmix64" (engine default, seeded) or "xxh3" (reference bit-parity:
+    # hashes are UNSEEDED exactly like the Go filter, which stores a Seed it
+    # never feeds to xxh3 — quirk Q1).  xxh3 mode covers keys ≤ 16 bytes
+    # (all int32/int64 tokens); it makes a filter built by the Go reference
+    # probe-compatible after deserialize(hash_family="xxh3").
+    hash_family: str = "splitmix64"
     m_pre: int = field(init=False)
     k: int = field(init=False)
     m: int = field(init=False)
@@ -49,6 +55,8 @@ class BloomParams:
     def __post_init__(self):
         if self.n <= 0 or not (0.0 < self.p < 1.0):
             raise ValueError(f"invalid Bloom params n={self.n} p={self.p}")
+        if self.hash_family not in ("splitmix64", "xxh3"):
+            raise ValueError(f"unknown hash_family {self.hash_family!r}")
         m_pre = math.ceil(-self.n * math.log(self.p) / (_LN2 * _LN2))
         k = max(1, round((m_pre / self.n) * _LN2))
         m = hashing.next_power_of_two(m_pre)
@@ -102,14 +110,29 @@ class BloomSketch:
             idx = hashing.km_indices(h, p.m, p.k).ravel()
             hashing.set_bits(state, idx, p.m)
 
+    def _hash(self, values, kind: str) -> np.ndarray:
+        p = self.params
+        if p.hash_family == "xxh3":
+            # reference parity: UNSEEDED xxh3 regardless of p.seed (quirk Q1)
+            if kind == "i32":
+                return xxh3.xxh3_64_i32(values)
+            if kind == "i64":
+                return xxh3.xxh3_64_i64(values)
+            enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                   for v in values]
+            return xxh3.xxh3_64_bytes(enc)
+        fn = {"i32": hashing.hash64_i32, "i64": hashing.hash64_i64,
+              "str": hashing.hash64_str}[kind]
+        return fn(values, p.seed)
+
     def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
-        self._update_hashes(state, hashing.hash64_i32(values, self.params.seed))
+        self._update_hashes(state, self._hash(values, "i32"))
 
     def update_i64(self, state: np.ndarray, values: np.ndarray) -> None:
-        self._update_hashes(state, hashing.hash64_i64(values, self.params.seed))
+        self._update_hashes(state, self._hash(values, "i64"))
 
     def update_str(self, state: np.ndarray, values) -> None:
-        self._update_hashes(state, hashing.hash64_str(values, self.params.seed))
+        self._update_hashes(state, self._hash(values, "str"))
 
     # -- probe ------------------------------------------------------------
     def _contains_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
@@ -134,13 +157,13 @@ class BloomSketch:
         return alive
 
     def contains_i32(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
-        return self._contains_hashes(state, hashing.hash64_i32(values, self.params.seed))
+        return self._contains_hashes(state, self._hash(values, "i32"))
 
     def contains_i64(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
-        return self._contains_hashes(state, hashing.hash64_i64(values, self.params.seed))
+        return self._contains_hashes(state, self._hash(values, "i64"))
 
     def contains_str(self, state: np.ndarray, values) -> np.ndarray:
-        return self._contains_hashes(state, hashing.hash64_str(values, self.params.seed))
+        return self._contains_hashes(state, self._hash(values, "str"))
 
     # -- merge ------------------------------------------------------------
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -157,13 +180,16 @@ class BloomSketch:
         return header + state.astype("<u8").tobytes()
 
     @classmethod
-    def deserialize(cls, blob: bytes, n: int | None = None, p: float | None = None):
+    def deserialize(cls, blob: bytes, n: int | None = None, p: float | None = None,
+                    hash_family: str = "splitmix64"):
         """Rebuild (sketch, state) from the reference-layout blob.
 
         m and k are authoritative from the header; (n, p) are only needed to
         reconstruct a params object for documentation — sizing is overridden
         to the serialized values exactly as the reference's Deserialize does
-        (/root/reference/filter/bloom/filter.go:77-92).
+        (/root/reference/filter/bloom/filter.go:77-92).  The layout carries
+        no hash-family field; pass hash_family="xxh3" for blobs produced by
+        the Go reference so probes use its (unseeded) xxh3 hashing.
         """
         r = Reader(blob)
         m = r.u32()
@@ -175,6 +201,7 @@ class BloomSketch:
         object.__setattr__(params, "n", n or 0)
         object.__setattr__(params, "p", p or 0.0)
         object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "hash_family", hash_family)
         object.__setattr__(params, "m_pre", m)
         object.__setattr__(params, "k", k)
         object.__setattr__(params, "m", m)
