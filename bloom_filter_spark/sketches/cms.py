@@ -32,6 +32,14 @@ class CMSParams:
     eps: float = 0.0001
     delta: float = 0.001
     seed: int = hashing.DEFAULT_SEED
+    # conservative update (Estan & Varghese 2002): bump each row only up to
+    # min-row-estimate + weight — strictly tighter point estimates, same
+    # no-underestimate guarantee.  Still sum-mergeable across partitions:
+    # each partition's cells dominate that partition's true counts, so the
+    # sum dominates the total (the bound degrades toward plain CMS as
+    # partition count grows, never below it).  Not serialized — an update-
+    # time policy, not a state property.
+    conservative: bool = False
     w: int = field(init=False)
     d: int = field(init=False)
 
@@ -67,10 +75,30 @@ class CMSSketch:
 
     def _update(self, state, values, kind, weights=None) -> None:
         h = self._hash(values, kind)
-        for j in range(self.params.d):
+        p = self.params
+        if p.conservative:
+            # vectorized conservative update: aggregate the batch per
+            # distinct key, read each key's current min-row estimate, then
+            # raise every row cell to at most est+weight (np.maximum.at
+            # resolves distinct keys colliding in a cell conservatively —
+            # the result never exceeds the sequential update and never
+            # drops below any key's true count)
+            uh, inv = np.unique(h, return_inverse=True)
+            if weights is None:
+                wagg = np.bincount(inv, minlength=uh.size).astype(np.int64)
+            else:
+                wagg = np.zeros(uh.size, np.int64)
+                np.add.at(wagg, inv, np.asarray(weights, np.int64))
+            idx = [self._row_idx_from(uh, j) for j in range(p.d)]
+            est = np.stack([state[j, idx[j]] for j in range(p.d)]).min(axis=0)
+            new = est + wagg
+            for j in range(p.d):
+                np.maximum.at(state[j], idx[j], new)
+            return
+        for j in range(p.d):
             idx = self._row_idx_from(h, j)
             state[j] += np.bincount(idx, weights=weights,
-                                    minlength=self.params.w).astype(np.int64)
+                                    minlength=p.w).astype(np.int64)
 
     def update_i32(self, state, values, weights=None) -> None:
         self._update(state, values, "i32", weights)
@@ -117,6 +145,7 @@ class CMSSketch:
         object.__setattr__(params, "eps", eps)
         object.__setattr__(params, "delta", delta)
         object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "conservative", False)
         object.__setattr__(params, "w", w)
         object.__setattr__(params, "d", d)
         return cls(params), state

@@ -409,3 +409,62 @@ def test_reservoir_uniformity_and_merge():
     quarters = hits.reshape(4, -1).sum(axis=1)
     expected = k * trials / 4
     assert np.abs(quarters - expected).max() <= 0.12 * expected, quarters
+
+
+def test_hll_sparse_serde_roundtrip_and_mixed_merge():
+    from bloom_filter_spark.sketches import HLLParams, HLLSketch
+    sk = HLLSketch(HLLParams(b=14))
+    small = sk.empty()
+    sk.update_i64(small, np.arange(100, dtype=np.int64))
+    blob_small = sk.serialize(small)
+    assert len(blob_small) < (1 << 14) // 4  # sparse actually engaged
+    assert blob_small[12] == 1
+    _, back = HLLSketch.deserialize(blob_small)
+    np.testing.assert_array_equal(back, small)
+
+    big = sk.empty()
+    sk.update_i64(big, np.arange(100_000, dtype=np.int64))
+    blob_big = sk.serialize(big)
+    assert blob_big[12] == 0  # dense when sparse would be larger
+    _, back_big = HLLSketch.deserialize(blob_big)
+    np.testing.assert_array_equal(back_big, big)
+
+    # mixed sparse/dense blobs merge identically to in-memory states
+    merged = sk.merge(back, back_big)
+    np.testing.assert_array_equal(merged, sk.merge(small, big))
+
+
+def test_cms_conservative_never_underestimates_and_is_tighter():
+    from bloom_filter_spark.sketches import CMSParams, CMSSketch
+    rng = np.random.default_rng(23)
+    # small sketch so collisions actually happen
+    vals = rng.zipf(1.3, 60_000).astype(np.int64) % 5000
+    plain = CMSSketch(CMSParams(eps=0.002, delta=0.01))
+    cons = CMSSketch(CMSParams(eps=0.002, delta=0.01, conservative=True))
+    sp, sc = plain.empty(), cons.empty()
+    for chunk in np.array_split(vals, 7):  # multiple batches: CU reads state
+        plain.update_i64(sp, chunk)
+        cons.update_i64(sc, chunk)
+    keys, exact = np.unique(vals, return_counts=True)
+    est_p = plain.point_i64(sp, keys)
+    est_c = cons.point_i64(sc, keys)
+    assert (est_c >= exact).all(), "conservative update underestimated"
+    assert (est_c <= est_p).all(), "conservative must never exceed plain CMS"
+    assert est_c.sum() < est_p.sum(), "conservative should be strictly tighter"
+
+
+def test_cms_conservative_merge_keeps_no_underestimate():
+    from bloom_filter_spark.sketches import CMSParams, CMSSketch
+    rng = np.random.default_rng(29)
+    vals = rng.zipf(1.3, 40_000).astype(np.int64) % 3000
+    sk = CMSSketch(CMSParams(eps=0.002, delta=0.01, conservative=True))
+    parts = []
+    for chunk in np.array_split(vals, 5):
+        st = sk.empty()
+        sk.update_i64(st, chunk)
+        parts.append(st)
+    merged = parts[0]
+    for st in parts[1:]:
+        merged = sk.merge(merged, st)
+    keys, exact = np.unique(vals, return_counts=True)
+    assert (sk.point_i64(merged, keys) >= exact).all()
