@@ -47,11 +47,19 @@ class CuckooParams:
     load_factor: float
     seed: int = hashing.DEFAULT_SEED
     fp_seed: int = 0x0F1E2D3C4B5A6978
+    # "splitmix64" (engine default) or "metro" (reference bit-parity:
+    # metro.Hash64(data, Seed) / metro.Hash64([fp], FpSeed) exactly as
+    # /root/reference/filter/cuckoo/filter.go:109-124 — a Go-built cuckoo
+    # blob deserialized with hash_family="metro" probes and deletes
+    # correctly).  Unlike Bloom's quirk Q1, cuckoo DOES use its seeds.
+    hash_family: str = "splitmix64"
     m: int = field(init=False)  # bucket count
 
     def __post_init__(self):
         if self.n <= 0 or not (0.0 < self.load_factor <= 1.0):
             raise ValueError("invalid cuckoo params")
+        if self.hash_family not in ("splitmix64", "metro"):
+            raise ValueError(f"unknown hash_family {self.hash_family!r}")
         m = hashing.next_power_of_two(math.ceil(self.n / SLOTS / self.load_factor))
         object.__setattr__(self, "m", max(m, 1))
 
@@ -65,7 +73,12 @@ class CuckooFilter:
         # 256-entry fp → bucket-offset table; alt = h1 ^ table[fp]
         # (reference recomputes metro64([fp]) per call, filter.go:120-124 —
         # same function, precomputed once here).
-        offs = hashing.hash64_i32(np.arange(256, dtype=np.int32), params.fp_seed)
+        if params.hash_family == "metro":
+            from ..core import metro
+            offs = metro.metro64_bytes([bytes([f]) for f in range(256)],
+                                       seed=params.fp_seed)
+        else:
+            offs = hashing.hash64_i32(np.arange(256, dtype=np.int32), params.fp_seed)
         self._alt_table = ((offs >> np.uint64(32)) & np.uint64(params.m - 1)).astype(np.uint64)
 
     def empty(self) -> np.ndarray:
@@ -75,7 +88,17 @@ class CuckooFilter:
     def _fingerprints(self, values, kind) -> tuple[np.ndarray, np.ndarray]:
         """→ (h1 bucket index uint64, fp uint8) per key — filter.go:108-118."""
         p = self.params
-        if kind is True or kind == "str":
+        if p.hash_family == "metro":
+            from ..core import metro
+            if kind == "i64":
+                h = metro.metro64_i64(np.asarray(values, np.int64), p.seed)
+            elif kind in (True, "str"):
+                enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                       for v in values]
+                h = metro.metro64_bytes(enc, p.seed)
+            else:
+                h = metro.metro64_i32(np.asarray(values, np.int32), p.seed)
+        elif kind is True or kind == "str":
             h = hashing.hash64_str(values, p.seed)
         elif kind == "i64":
             h = hashing.hash64_i64(np.asarray(values, np.int64), p.seed)
@@ -231,7 +254,10 @@ class CuckooFilter:
                 + state.astype(np.uint8).tobytes())
 
     @classmethod
-    def deserialize(cls, blob: bytes):
+    def deserialize(cls, blob: bytes, hash_family: str = "splitmix64"):
+        """The reference layout carries no hash-family field; pass
+        hash_family="metro" for blobs produced by the Go reference so probes
+        and deletes use its metro hashing with the stored seeds."""
         r = Reader(blob)
         m = r.u32()
         fp_seed = r.u64()
@@ -242,5 +268,6 @@ class CuckooFilter:
         object.__setattr__(params, "load_factor", 0.0)
         object.__setattr__(params, "seed", seed)
         object.__setattr__(params, "fp_seed", fp_seed)
+        object.__setattr__(params, "hash_family", hash_family)
         object.__setattr__(params, "m", m)
         return cls(params), state
