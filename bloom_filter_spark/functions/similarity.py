@@ -171,6 +171,104 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.45,
             .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim")))
 
 
+# ---------------------------------------------------------------- IVF ANN
+def train_ivf_centroids(emb: DataFrame, n_lists: int = 16, n_iters: int = 8,
+                        sample_n: int = 20_000, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        seed: int = 0x1BF_5EED) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a deterministic sample.
+
+    Standard IVF practice at 100 TB: the quantizer is a tiny model (n_lists ×
+    dim floats) trained on a bounded sample — one ordered-limit scan — and
+    broadcast; the corpus-wide work (assignment) stays distributed.  Lloyd
+    iterations with max-dot-product assignment on L2-normalized vectors;
+    empty cells are reseeded deterministically from the sample.
+    """
+    pdf = (emb.orderBy(id_col).limit(sample_n)
+           .select(vec_col).toPandas())
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), n_lists, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # deterministic reseed from the farthest point
+                far = (x @ cents.T).max(axis=1).argmin()
+                cents[c] = x[far]
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id): nearest-centroid cell per vector — one mapInPandas
+    matmul per Arrow batch against the broadcast quantizer."""
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cents = centroids
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "list_id": (mat @ cents.T).argmax(axis=1)
+                                .astype(np.int32)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, f"id {id_type}, list_id int")
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 0x1BF_5EED) -> DataFrame:
+    """IVF ANN top-k: corpus bucketed once by nearest centroid; each query
+    scans only its n_probe closest cells (bucket equi-join, never all-pairs),
+    exact cosine on the candidates.
+
+    n_probe == n_lists degenerates to an EXHAUSTIVE scan — then the result
+    must equal brute_force_topk exactly, which is the oracle-backed driver
+    query: it proves the cell partition loses/duplicates no vector and the
+    candidate join + scoring pipeline is exact.  The recall path
+    (n_probe < n_lists) is checked against brute force in pytest.
+    """
+    spark = emb.sparkSession
+    cents = train_ivf_centroids(emb, n_lists, id_col=id_col, vec_col=vec_col,
+                                seed=seed)
+    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("cv"))
+              .join(ivf_assign(emb, cents, id_col, vec_col)
+                    .withColumnRenamed("id", "neighbor_id"), "neighbor_id"))
+    # query → its n_probe nearest cells (tiny: |queries| × n_probe rows)
+    qv = {int(r[0]): np.asarray(r[1], np.float64)
+          for r in emb.where(F.col(id_col).isin(query_ids))
+          .select(id_col, vec_col).collect()}
+    probes = []
+    for qid, v in qv.items():
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(cents @ vn))[:n_probe]
+        probes += [(qid, int(c)) for c in order]
+    probe_df = spark.createDataFrame(probes, f"query_id {emb.schema[id_col].dataType.simpleString()}, list_id int")
+    q = spark.createDataFrame(
+        [(qid, v.tolist()) for qid, v in qv.items()],
+        f"query_id {emb.schema[id_col].dataType.simpleString()}, qv array<double>")
+    cand = (corpus.join(F.broadcast(probe_df), "list_id")
+            .join(F.broadcast(q), "query_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim_raw", _cosine(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim_raw", 6).alias("sim"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 4,
              n_tables: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -57,6 +57,21 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    # recall path: scan 4 of 16 cells per query (rows-only driver check;
+    # recall vs brute force measured in pytest)
+    return similarity.ivf_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5,
+                               n_lists=16, n_probe=4)
+
+
+def q_ivf_topk_fullprobe(spark, sf_dir):
+    # n_probe == n_lists: exhaustive through the SAME partition/join/scoring
+    # pipeline, so the exact brute-force SQL is the oracle — proves the IVF
+    # cell partition loses/duplicates no vector
+    return similarity.ivf_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5,
+                               n_lists=16, n_probe=16)
+
+
 def q_lsh_neardup(spark, sf_dir):
     # 4-bit × 64-table hyperplane LSH: per-pair miss ≈ (1-0.648^4)^64 ≈ 4e-6
     # at sim = τ = 0.45, so with the fixed seed the candidate set provably
@@ -125,6 +140,8 @@ PIPELINE_QUERIES = {
     "embedding_cosine_neardup": q_cosine_neardup,
     "embedding_lsh_topk": q_lsh_topk,
     "embedding_lsh_neardup": q_lsh_neardup,
+    "embedding_ivf_topk": q_ivf_topk,
+    "embedding_ivf_topk_fullprobe": q_ivf_topk_fullprobe,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
     "text_quality": q_quality,
@@ -276,6 +293,9 @@ def pipeline_oracles() -> dict[str, str]:
         # exact-Jaccard-verified — so the oracle is the same exact pair set
         "dedup_minhash_lsh": _JACCARD_SQL,
         "embedding_cosine_topk": _COSINE_TOPK_SQL,
+        # exhaustive IVF (n_probe = n_lists) must equal exact top-k: the
+        # oracle catches any vector lost or duplicated by the cell partition
+        "embedding_ivf_topk_fullprobe": _COSINE_TOPK_SQL,
         "embedding_cosine_neardup": _COSINE_NEARDUP_SQL,
         # LSH blocking recall at the fixture's sims is ≈1-4e-6 per pair with
         # the fixed seed (verified exhaustively in pytest), and candidates

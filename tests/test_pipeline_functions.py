@@ -132,6 +132,37 @@ def test_lsh_topk_recall(emb):
     assert len(approx) == 50  # k candidates found for every query
 
 
+def test_ivf_fullprobe_equals_bruteforce(emb):
+    """n_probe == n_lists is an exhaustive scan through the IVF pipeline:
+    results must EQUAL brute force (cell partition loses nothing)."""
+    brute = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in
+             similarity.brute_force_topk(emb, list(range(10)), k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in
+            similarity.ivf_topk(emb, list(range(10)), k=5,
+                                n_lists=16, n_probe=16).collect()}
+    assert full == brute
+
+
+def test_ivf_topk_recall(emb):
+    brute = similarity.brute_force_topk(emb, list(range(10)), k=5).collect()
+    approx = similarity.ivf_topk(emb, list(range(10)), k=5,
+                                 n_lists=16, n_probe=4).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    assert len(approx) == 50
+
+
+def test_ivf_assign_partitions_every_vector_once(emb):
+    cents = similarity.train_ivf_centroids(emb, n_lists=16)
+    assign = similarity.ivf_assign(emb, cents)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("id").distinct().count() == n
+    assert assign.agg(F.min("list_id"), F.max("list_id")).collect()[0][1] < 16
+
+
 def test_embedding_neardup_symmetric_threshold(emb):
     pairs = similarity.neardup_pairs(emb, threshold=0.45).collect()
     for r in pairs:
