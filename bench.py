@@ -117,8 +117,18 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         timed("embedding_cosine_topk", lambda: similarity.brute_force_topk(
             emb, list(range(10)), k=5).count())
+        # scale-regime parameters (τ=0.85 near-dup, 16-bit tables): the
+        # config where blocking beats all-pairs by ~2^16/table.  The
+        # driver-correctness config (4-bit × 64 tables, τ=0.45 — exact
+        # recall at the fixture's threshold) is verified in CORRECTNESS;
+        # at τ that low LSH candidates approach all-pairs by construction,
+        # so timing it would measure the fixture, not the operator.
         timed("embedding_lsh_neardup", lambda: similarity.lsh_neardup_pairs(
-            emb, threshold=0.45, n_bits=4, n_tables=64).count())
+            emb, threshold=0.85, n_bits=16, n_tables=8).count())
+        timed("embedding_ivf_topk", lambda: similarity.ivf_topk(
+            emb, list(range(10)), k=5, n_lists=16, n_probe=4).count())
+        timed("dedup_simhash", lambda: dedup.simhash_pairs(
+            docs, max_hamming=7).count())
 
     total = round(sum(results.values()), 3)
     build_secs = sum(results[k] for k in
