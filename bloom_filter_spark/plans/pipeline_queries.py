@@ -110,6 +110,43 @@ def q_multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "fake_width", "fake_height")
 
 
+# ---------------------------------------------------------------- streaming
+def _events_stream_dir(sf_dir: str) -> str:
+    """Split the events table into 4 deterministic parquet files (by row
+    order, pyarrow — no Spark write nondeterminism) so the file-source
+    stream runs 4 micro-batches with maxFilesPerTrigger=1."""
+    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
+                       "events_stream")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        n = t.num_rows
+        bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+        for i in range(4):
+            pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                           os.path.join(out, f"part-{i}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window streaming agg over a 4-file stream
+    (availableNow) — in complete mode the final result table must EQUAL the
+    batch group-by-hour aggregation, which is the SQL oracle.  Event time is
+    TIMESTAMP_NTZ end-to-end so the comparison is timezone-proof."""
+    from ..streaming.stream_build import windowed_event_counts
+    path = _events_stream_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = windowed_event_counts(spark, path, schema,
+                                window="1 hour", watermark="2 hours")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", F.col("n").cast("long").alias("n"), "sum_value")
+
+
 # ---------------------------------------------------------------- relational
 def q_tpch_q1(spark, sf_dir):
     return relational.tpch_q1(spark, sf_dir)
@@ -148,6 +185,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_langid": q_langid,
     "multimodal_meta": q_multimodal_meta,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
     "tpch_q1": q_tpch_q1,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
@@ -389,6 +427,13 @@ def pipeline_oracles() -> dict[str, str]:
               JOIN nation n ON c.c_nationkey = n.n_nationkey
             )
             SELECT nation, customer, total_spend FROM ranked WHERE rn = 1
+        """,
+        "streaming_windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH g AS (

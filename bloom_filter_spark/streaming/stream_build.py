@@ -68,19 +68,31 @@ def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
 
 
 def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
-                          window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
+                          window: str = "1 hour", watermark: str = "2 hours",
+                          ts_col: str = "ts") -> DataFrame:
     """Watermarked tumbling-window aggregation over a file-source stream —
     the late-data-tolerant streaming analog of a groupBy(window) batch agg.
     Runs availableNow to completion against a memory sink and returns the
-    result as a DataFrame."""
+    result as a DataFrame.
+
+    Timezone safety: Structured Streaming watermarks demand a TIMESTAMP
+    (ltz) event-time column, but rendering ltz window boundaries depends on
+    the session time zone — a half-hour-offset zone would even shift the
+    bucket strings.  So the watermark rides a DERIVED ltz cast (state
+    eviction semantics, exercised across the 4 micro-batches) while the
+    GROUP key is date_trunc on the original TIMESTAMP_NTZ — wall-clock
+    bucketing that renders identically under any host zone, so the batch
+    SQL oracle compares safely.  (For 1-hour tumbling windows
+    date_trunc('hour') IS the window start.)
+    """
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(source_dir))
     agg = (stream
-           .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+           .withColumn("ts_ltz", F.col(ts_col).cast("timestamp"))
            .withWatermark("ts_ltz", watermark)
-           .groupBy(F.window("ts_ltz", window), "event_type")
+           .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+                    "event_type")
            .agg(F.count("*").alias("n"),
                 F.round(F.sum("value"), 4).alias("sum_value")))
     name = f"windowed_counts_{abs(id(agg)) % 99999}"
@@ -90,4 +102,4 @@ def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
          .start())
     q.awaitTermination()
     return spark.sql(
-        f"SELECT window.start AS window_start, event_type, n, sum_value FROM {name}")
+        f"SELECT window_start, event_type, n, sum_value FROM {name}")
