@@ -302,8 +302,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "simhash": sigs.astype(np.int64)})
 
+    # both join sides derive from sig — cache so the signature kernel runs
+    # once, not once per side (same pattern as the shingle cache above)
     sig = df.select("doc_id", text_col) \
-            .mapInPandas(sim, f"doc_id {id_type}, simhash bigint")
+            .mapInPandas(sim, f"doc_id {id_type}, simhash bigint").cache()
     band_bits = 64 // n_bands
     band_mask = (1 << band_bits) - 1
     band_val = [
