@@ -87,14 +87,34 @@ def scalar_xxh3_64(data: bytes, seed: int = 0) -> int:
         fold = ((prod & M64) ^ (prod >> 64)) & M64
         swapped = int.from_bytes(lo.to_bytes(8, "little"), "big")
         return _xxh3_ava((n + swapped + hi + fold) & M64)
+    if n <= 128:
+        def mix16(off, soff):
+            a = _r64(data, off) ^ ((_r64(SECRET, soff) + seed) & M64)
+            b = _r64(data, off + 8) ^ ((_r64(SECRET, soff + 8) - seed) & M64)
+            prod = a * b
+            return ((prod & M64) ^ (prod >> 64)) & M64
+        acc = (n * 0x9E3779B185EBCA87) & M64
+        if n > 32:
+            if n > 64:
+                if n > 96:
+                    acc = (acc + mix16(48, 96)) & M64
+                    acc = (acc + mix16(n - 64, 112)) & M64
+                acc = (acc + mix16(32, 64)) & M64
+                acc = (acc + mix16(n - 48, 80)) & M64
+            acc = (acc + mix16(16, 32)) & M64
+            acc = (acc + mix16(n - 32, 48)) & M64
+        acc = (acc + mix16(0, 0)) & M64
+        acc = (acc + mix16(n - 16, 16)) & M64
+        return _xxh3_ava(acc)
     raise NotImplementedError
 
 
 SANITY = {0: 0x2D06800538D394C2, 1: 0xC44BDFF4074EECDB,
-          6: 0x27B56A84CD2D7325, 12: 0xA713DAF0DFBB77E7}
+          6: 0x27B56A84CD2D7325, 12: 0xA713DAF0DFBB77E7,
+          24: 0xA3FE70BF9D3510EB, 48: 0x397DA259ECBA1F11}
 
 
-def _sanity_buffer(n=32):
+def _sanity_buffer(n=64):
     buf, g = bytearray(), 2654435761
     for _ in range(n):
         buf.append((g >> 56) & 0xFF)
@@ -128,8 +148,8 @@ def test_vectorized_i64_matches_scalar():
 def test_vectorized_bytes_all_lengths_match_scalar():
     rng = np.random.default_rng(9)
     keys = []
-    for ln in range(0, 17):
-        for _ in range(20):
+    for ln in range(0, 129):
+        for _ in range(6):
             keys.append(bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
     keys.append(b"a\x00")          # trailing NUL stays distinct
     keys.append(b"a")
@@ -140,9 +160,9 @@ def test_vectorized_bytes_all_lengths_match_scalar():
     assert xxh3.xxh3_64(b"a\x00") != xxh3.xxh3_64(b"a")
 
 
-def test_bytes_over_16_raises():
+def test_bytes_over_128_raises():
     with pytest.raises(NotImplementedError):
-        xxh3.xxh3_64_bytes([b"x" * 17])
+        xxh3.xxh3_64_bytes([b"x" * 129])
 
 
 def _go_reference_bloom_blob(keys_i32, n, p):
