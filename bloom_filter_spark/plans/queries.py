@@ -131,10 +131,15 @@ def q_blocked_bloom_membership(spark, sf_dir):
 _CUCKOO_STATES_CACHE: dict[str, list] = {}
 
 
-def _cuckoo_states(spark, sf_dir):
+def _cuckoo_states(spark, sf_dir) -> dict[str, bytes]:
     """Grouped single-writer cuckoo states per source, built once per sf and
-    shared by the membership and delete queries (the build is the expensive
-    part; states are 8 small rows)."""
+    shared by the membership and delete queries as a {source: blob} map.
+
+    The map is BROADCAST into the probe UDFs (closure capture) rather than
+    joined onto the docs: a states-join would replicate each ~32 KB blob
+    onto every one of the 60k rows flowing into applyInPandas (measured
+    ~2 GB of shuffle amplification and ~100 s at sf0.01); the broadcast
+    ships each blob once per executor."""
     key = sf_name_of_dir(sf_dir)
     if key not in _CUCKOO_STATES_CACHE:
         toks = _tokens(spark, sf_dir)
@@ -142,27 +147,25 @@ def _cuckoo_states(spark, sf_dir):
         states = build_grouped_single_writer(
             toks, "cuckoo", CuckooParams(n=max(n_per_group, 64), load_factor=0.8),
             "source", "doc_id", "str")
-        _CUCKOO_STATES_CACHE[key] = states.collect()
-    return spark.createDataFrame(
-        _CUCKOO_STATES_CACHE[key],
-        "group string, n_items long, n_failed long, state binary")
+        _CUCKOO_STATES_CACHE[key] = {r.group: bytes(r.state)
+                                     for r in states.collect()}
+    return _CUCKOO_STATES_CACHE[key]
 
 
 def q_cuckoo_doc_membership(spark, sf_dir):
     """Grouped single-writer cuckoo per source over doc_ids; every inserted
     doc probes true (zero FN, delete capability tested in pytest)."""
     toks = _tokens(spark, sf_dir)
-    states = _cuckoo_states(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(_cuckoo_states(spark, sf_dir))
     import pandas as pd
 
     def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cf, state = CuckooFilter.deserialize(bytes(pdf["state"].iloc[0]))
+        cf, state = CuckooFilter.deserialize(bc.value[pdf["source"].iloc[0]])
         member = cf.contains_str(state, pdf["doc_id"].tolist())
         return pd.DataFrame({"doc_id": pdf["doc_id"], "member": member})
 
     docs = toks.select("source", "doc_id")
-    joined = docs.join(F.broadcast(states.withColumnRenamed("group", "source")), "source")
-    return (joined.groupBy("source")
+    return (docs.groupBy("source")
             .applyInPandas(probe_group, "doc_id string, member boolean")
             .select("doc_id", "member"))
 
@@ -178,12 +181,12 @@ def q_cuckoo_delete_probe(spark, sf_dir):
     fingerprint-collision bound (8 occupied-slot comparisons × ~0.4 load
     / 256 fingerprints ≈ 1.2% ≪ the 5% bound checked here)."""
     toks = _tokens(spark, sf_dir)
-    states = _cuckoo_states(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(_cuckoo_states(spark, sf_dir))
     import numpy as np
     import pandas as pd
 
     def del_probe(pdf: pd.DataFrame) -> pd.DataFrame:
-        cf, state = CuckooFilter.deserialize(bytes(pdf["state"].iloc[0]))
+        cf, state = CuckooFilter.deserialize(bc.value[pdf["source"].iloc[0]])
         parity = pdf["doc_id"].str[-1].map(ord) % 2
         kept = pdf["doc_id"][parity == 0].tolist()
         dele = pdf["doc_id"][parity == 1].tolist()
@@ -199,9 +202,7 @@ def q_cuckoo_delete_probe(spark, sf_dir):
         })
 
     docs = toks.select("source", "doc_id")
-    joined = docs.join(F.broadcast(states.withColumnRenamed("group", "source")),
-                       "source")
-    per_group = joined.groupBy("source").applyInPandas(
+    per_group = docs.groupBy("source").applyInPandas(
         del_probe, "n_kept long, kept_missing long, n_deleted long, "
                    "deletes_found long, deleted_still_member long")
     agg = per_group.agg(
