@@ -140,8 +140,16 @@ def q_streaming_windowed_counts(spark, sf_dir):
     from ..streaming.stream_build import windowed_event_counts
     path = _events_stream_dir(sf_dir)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    out = windowed_event_counts(spark, path, schema,
-                                window="1 hour", watermark="2 hours")
+    # the stream's state store inherits shuffle.partitions at query start;
+    # 32 partitions x 4 micro-batches of a small table is pure task
+    # overhead — scope a smaller count to this one-shot query and restore
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = windowed_event_counts(spark, path, schema,
+                                    window="1 hour", watermark="2 hours")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", F.col("n").cast("long").alias("n"), "sum_value")
