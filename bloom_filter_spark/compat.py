@@ -83,9 +83,11 @@ class _MembershipFilter:
         return self._sketch.serialize(self._state)
 
     @classmethod
-    def deserialize(cls, data: bytes):
+    def deserialize(cls, data: bytes, **kw):
+        """kw passes through to the sketch deserializer — e.g.
+        hash_family="xxh3" for a blob produced by the Go reference."""
         obj = object.__new__(cls)
-        obj._sketch, obj._state = cls._sketch_cls.deserialize(data)
+        obj._sketch, obj._state = cls._sketch_cls.deserialize(data, **kw)
         return obj
 
     def merge(self, other) -> None:
@@ -113,8 +115,8 @@ class BlockedBloomFilter(_MembershipFilter):
 
 
 class CuckooFilter:
-    def __init__(self, n: int, load_factor: float):
-        self._kernel = _CuckooKernel(CuckooParams(n=n, load_factor=load_factor))
+    def __init__(self, n: int, load_factor: float, **kw):
+        self._kernel = _CuckooKernel(CuckooParams(n=n, load_factor=load_factor, **kw))
         self._state = self._kernel.empty()
         self._rng_counter = 0
 
@@ -138,8 +140,10 @@ class CuckooFilter:
         return self._kernel.serialize(self._state)
 
     @classmethod
-    def deserialize(cls, data: bytes):
+    def deserialize(cls, data: bytes, **kw):
+        """kw passes through — e.g. hash_family="metro" for a blob produced
+        by the Go reference."""
         obj = object.__new__(cls)
-        obj._kernel, obj._state = _CuckooKernel.deserialize(data)
+        obj._kernel, obj._state = _CuckooKernel.deserialize(data, **kw)
         obj._rng_counter = 0
         return obj

@@ -72,6 +72,15 @@ def q_ivf_topk_fullprobe(spark, sf_dir):
                                n_lists=16, n_probe=16)
 
 
+def q_lsh_topk_fullprobe(spark, sf_dir):
+    # n_bits=0 puts every vector in ONE bucket: the bucket-join pipeline
+    # degenerates to an exhaustive scan, so the exact brute-force SQL is
+    # the oracle — proves the candidate dedup + scoring + ranking stages
+    # of lsh_topk are exact (same pattern as embedding_ivf_topk_fullprobe)
+    return similarity.lsh_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5,
+                               n_bits=0, n_tables=1)
+
+
 def q_lsh_neardup(spark, sf_dir):
     # 4-bit × 64-table hyperplane LSH: per-pair miss ≈ (1-0.648^4)^64 ≈ 4e-6
     # at sim = τ = 0.45, so with the fixed seed the candidate set provably
@@ -184,6 +193,7 @@ PIPELINE_QUERIES = {
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_cosine_neardup": q_cosine_neardup,
     "embedding_lsh_topk": q_lsh_topk,
+    "embedding_lsh_topk_fullprobe": q_lsh_topk_fullprobe,
     "embedding_lsh_neardup": q_lsh_neardup,
     "embedding_ivf_topk": q_ivf_topk,
     "embedding_ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -342,6 +352,9 @@ def pipeline_oracles() -> dict[str, str]:
         # exhaustive IVF (n_probe = n_lists) must equal exact top-k: the
         # oracle catches any vector lost or duplicated by the cell partition
         "embedding_ivf_topk_fullprobe": _COSINE_TOPK_SQL,
+        # single-bucket LSH (n_bits=0) is exhaustive through the bucket-join
+        # pipeline: exact top-k SQL proves the candidate/rank stages exact
+        "embedding_lsh_topk_fullprobe": _COSINE_TOPK_SQL,
         "embedding_cosine_neardup": _COSINE_NEARDUP_SQL,
         # LSH blocking recall at the fixture's sims is ≈1-4e-6 per pair with
         # the fixed seed (verified exhaustively in pytest), and candidates

@@ -64,3 +64,26 @@ def test_cuckoo_facade_insert_lookup_delete():
     assert not cf.delete("key-1")  # nothing left
     g = CuckooFilter.deserialize(cf.serialize())
     assert not g.lookup("key-1")
+
+
+def test_compat_parity_hash_families():
+    """The 1:1 facade exposes the reference-parity hash modes: a filter
+    built in xxh3/metro mode round-trips through deserialize(hash_family=)
+    and probes identically (the byte-level Go-blob parity itself is proven
+    in tests/test_xxh3.py / tests/test_metro.py)."""
+    from bloom_filter_spark import compat
+    f = compat.BloomFilter(1000, 0.01, seed=0, hash_family="xxh3")
+    for k in (1, 2**40 + 7):
+        f.insert(k)
+    f.insert(b"short-key")
+    blob = f.serialize()
+    g = compat.BloomFilter.deserialize(blob, hash_family="xxh3")
+    assert g.exist(1) and g.exist(2**40 + 7) and g.exist(b"short-key")
+
+    c = compat.CuckooFilter(256, 0.8, hash_family="metro")
+    c.insert(b"alpha")
+    c.insert(42)
+    blob = c.serialize()
+    d = compat.CuckooFilter.deserialize(blob, hash_family="metro")
+    assert d.lookup(b"alpha") and d.lookup(42)
+    assert d.delete(b"alpha") and not d.delete(b"never-inserted")
