@@ -112,6 +112,28 @@ def q_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation in ONE DAG — the composition a real
+    pipeline runs: quality gate (keep mid/high) → exact dedup (keep the min
+    doc_id per content hash) → language ID → per-language corpus stats.
+    Every stage is an already-oracle-verified operator; this query verifies
+    their COMPOSITION against one SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    quality_keep = (textstats.quality_score(docs)
+                    .where(F.col("quality_bucket").isin("high", "mid"))
+                    .select("doc_id"))
+    dedup_keep = (dedup.exact_dedup(docs)
+                  .select(F.col("keep_doc_id").alias("doc_id")))
+    kept = docs.select("doc_id").join(quality_keep, "doc_id").join(dedup_keep, "doc_id")
+    lang = textstats.lang_id(docs)
+    tok = textstats.token_count(docs)
+    return (kept.join(lang, "doc_id").join(tok, "doc_id")
+            .groupBy("lang_pred")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("sum_words"),
+                 F.sum("n_distinct_words").cast("long").alias("sum_distinct_words")))
+
+
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_meta(spark, sf_dir):
     payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
@@ -203,6 +225,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_langid": q_langid,
     "multimodal_meta": q_multimodal_meta,
+    "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "tpch_q1": q_tpch_q1,
     "top_customer_per_nation": q_top_customer_per_nation,
@@ -331,9 +354,48 @@ def _langid_sql() -> str:
     """
 
 
+def _curation_sql() -> str:
+    """Composition oracle: reuses the exact SQL logic of the quality, exact-
+    dedup, language-ID and token-count oracles as CTEs over the same table."""
+    lang_cte = _langid_sql().strip()
+    return f"""
+        WITH lang AS ({lang_cte}),
+        q AS (
+          SELECT doc_id,
+                 0.4 * (len(list_distinct(string_split(text,' '))) * 1.0
+                        / len(string_split(text,' ')))
+                 + 0.3 * least(1.0, ((length(text) - (len(string_split(text,' ')) - 1))
+                        * 1.0 / len(string_split(text,' '))) / 6.0)
+                 + 0.3 * least(1.0, len(string_split(text,' ')) / 64.0) AS score
+          FROM documents
+        ),
+        quality_keep AS (SELECT doc_id FROM q WHERE score >= 0.5),
+        dedup_keep AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        tok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                     AS n_distinct_words
+          FROM documents
+        )
+        SELECT l.lang_pred,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t.n_words) AS BIGINT) AS sum_words,
+               CAST(sum(t.n_distinct_words) AS BIGINT) AS sum_distinct_words
+        FROM quality_keep k
+        JOIN dedup_keep d USING (doc_id)
+        JOIN lang l USING (doc_id)
+        JOIN tok t USING (doc_id)
+        GROUP BY l.lang_pred
+    """
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "text_langid": _langid_sql(),
+        "curation_pipeline": _curation_sql(),
         # brute-force all-pairs hamming over driver-side-recomputed
         # signatures: exact recall of the multi-probe banding is a theorem
         # (pigeonhole, h ≤ (radius+1)·bands−1), so the pair sets must be EQUAL
