@@ -44,6 +44,15 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Connected components over the minhash-LSH near-dup graph via
+    distributed min-label propagation — the keep-one dedup policy's cluster
+    assignment.  Oracle: transitive closure (recursive CTE) over the exact
+    Jaccard pair set, cluster_id = min reachable node."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_TAU)
+    return dedup.near_dup_clusters(pairs)
+
+
 # ---------------------------------------------------------------- similarity
 def q_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
@@ -212,6 +221,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
+    "dedup_neardup_clusters": q_neardup_clusters,
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_cosine_neardup": q_cosine_neardup,
     "embedding_lsh_topk": q_lsh_topk,
@@ -406,6 +416,23 @@ def pipeline_oracles() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        # connected components: transitive closure over the exact pair set
+        # (tiny near-dup graph), cluster = min(node, reachable nodes)
+        "dedup_neardup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         # minhash recall at τ=0.5 is exact here: bands=64 × rows=2 ⇒
         # P(miss | j≥0.5) ≤ (1-0.25)^64 < 1e-8, and the candidate set is
         # exact-Jaccard-verified — so the oracle is the same exact pair set
