@@ -30,6 +30,7 @@ _HEADER_LEN = {
     "tdigest": 8,         # f64 compression
     "mg": 4,              # u32 k (n/offset follow, may differ)
     "reservoir": 12,      # u32 k | u64 seed
+    "kmv": 12,            # u32 k | u64 seed (count follows, may differ)
 }
 
 

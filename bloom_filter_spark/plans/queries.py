@@ -232,6 +232,51 @@ def q_hll_distinct_tokens(spark, sf_dir):
                                  "exact_distinct bigint, within_bound boolean")
 
 
+def q_kmv_distinct_tokens(spark, sf_dir):
+    """KMV/theta distinct count over all tokens — RSE 1/√(k-2); the sketch
+    that also supports set operations (see q_kmv_source_intersection)."""
+    from ..sketches import KMVParams, KMVSketch
+    sk = KMVSketch(KMVParams(k=4096))
+    blob, _ = build_sketch(_tokens(spark, sf_dir), sk, "tokens", "i32_array")
+    _, state = KMVSketch.deserialize(blob)
+    est = sk.estimate(state)
+    exact = (_tokens(spark, sf_dir).select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    ok = abs(est - exact) <= 4 * sk.params.rse * exact
+    return spark.createDataFrame([(int(exact), bool(ok))],
+                                 "exact_distinct bigint, within_bound boolean")
+
+
+def q_kmv_source_intersection(spark, sf_dir):
+    """Set-operation capability HLL lacks: distinct tokens SHARED by the two
+    largest sources, answered from per-source KMV states alone (theta
+    intersection: θ = min θ, count common retained hashes below θ·2^64,
+    scale 1/θ).  Checked against the exact SQL intersection; the error
+    bound is driven by the union's sampling error (6·rse·|A∪B|)."""
+    from ..sketches import KMVParams, KMVSketch
+    toks = _tokens(spark, sf_dir)
+    sk = KMVSketch(KMVParams(k=4096))
+    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array",
+                            n_salts=16, salt_on="doc_id")
+    states = {r.group: KMVSketch.deserialize(bytes(r.state))[1]
+              for r in grouped.collect()}
+    counts = {r.source: r.c for r in
+              toks.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    (src_a, _), (src_b, _) = sorted(counts.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[:2]
+    est = sk.intersection_estimate(states[src_a], states[src_b])
+    flat = toks.select("source", F.explode("tokens").alias("t"))
+    ta = flat.where(F.col("source") == src_a).select("t").distinct()
+    tb = flat.where(F.col("source") == src_b).select("t").distinct()
+    exact_common = ta.intersect(tb).count()
+    exact_union = ta.union(tb).distinct().count()
+    ok = abs(est - exact_common) <= 6 * sk.params.rse * exact_union
+    return spark.createDataFrame(
+        [(src_a, src_b, int(exact_common), bool(ok))],
+        "source_a string, source_b string, exact_common bigint, "
+        "within_bound boolean")
+
+
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
     path: 45% of rows share one source)."""
@@ -483,6 +528,8 @@ SKETCH_QUERIES = {
     "cuckoo_delete_probe": q_cuckoo_delete_probe,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "hll_distinct_per_source": q_hll_distinct_per_source,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
+    "kmv_source_intersection": q_kmv_source_intersection,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -534,6 +581,27 @@ def sketch_oracles() -> dict[str, str]:
             SELECT source, count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
             FROM (SELECT source, unnest(tokens) AS t FROM {tok})
             GROUP BY source
+        """,
+        "kmv_distinct_tokens": f"""
+            SELECT count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
+            FROM (SELECT unnest(tokens) AS t FROM {tok})
+        """,
+        "kmv_source_intersection": f"""
+            WITH top2 AS (
+              SELECT source, row_number() OVER (ORDER BY count(*) DESC,
+                                                source ASC) AS rk
+              FROM {tok} GROUP BY source
+            ),
+            flat AS (SELECT source, unnest(tokens) AS t FROM {tok}),
+            ta AS (SELECT DISTINCT t FROM flat
+                   WHERE source = (SELECT source FROM top2 WHERE rk = 1)),
+            tb AS (SELECT DISTINCT t FROM flat
+                   WHERE source = (SELECT source FROM top2 WHERE rk = 2))
+            SELECT (SELECT source FROM top2 WHERE rk = 1) AS source_a,
+                   (SELECT source FROM top2 WHERE rk = 2) AS source_b,
+                   CAST((SELECT count(*) FROM (SELECT t FROM ta INTERSECT
+                         SELECT t FROM tb)) AS BIGINT) AS exact_common,
+                   TRUE AS within_bound
         """,
         "cms_heavy_hitters": f"""
             SELECT token, exact_cnt, TRUE AS cms_ok FROM (

@@ -17,3 +17,4 @@ from .kll import KLLParams, KLLSketch  # noqa: F401
 from .tdigest import TDigestParams, TDigestSketch  # noqa: F401
 from .misra_gries import MGParams, MGSketch  # noqa: F401
 from .reservoir import ReservoirParams, ReservoirSketch  # noqa: F401
+from .kmv import KMVParams, KMVSketch, KMVState  # noqa: F401

@@ -468,3 +468,50 @@ def test_cms_conservative_merge_keeps_no_underestimate():
         merged = sk.merge(merged, st)
     keys, exact = np.unique(vals, return_counts=True)
     assert (sk.point_i64(merged, keys) >= exact).all()
+
+
+def test_kmv_estimate_and_merge_permutations():
+    from bloom_filter_spark.sketches import KMVParams, KMVSketch
+    sk = KMVSketch(KMVParams(k=1024))
+    vals = np.arange(200_000, dtype=np.int64)
+    parts = []
+    for chunk in np.array_split(vals, 8):
+        st = sk.empty()
+        sk.update_i64(st, chunk)
+        parts.append(st)
+    import itertools
+    merged_sets = []
+    for order in list(itertools.permutations(range(8)))[:5] + [tuple(range(8))]:
+        m = parts[order[0]]
+        for i in order[1:]:
+            m = sk.merge(m, parts[i])
+        merged_sets.append(sk.serialize(m))
+    # bit-identical under any merge order (union1d is deterministic)
+    assert len(set(merged_sets)) == 1
+    _, m = KMVSketch.deserialize(merged_sets[0])
+    est = sk.estimate(m)
+    assert abs(est - 200_000) <= 4 * sk.params.rse * 200_000
+    # exact below k
+    small = sk.empty()
+    sk.update_i64(small, np.arange(500, dtype=np.int64))
+    assert sk.estimate(small) == 500.0
+
+
+def test_kmv_set_operations():
+    from bloom_filter_spark.sketches import KMVParams, KMVSketch
+    sk = KMVSketch(KMVParams(k=2048))
+    a_vals = np.arange(0, 60_000, dtype=np.int64)
+    b_vals = np.arange(40_000, 100_000, dtype=np.int64)  # overlap 20k
+    sa, sb = sk.empty(), sk.empty()
+    sk.update_i64(sa, a_vals)
+    sk.update_i64(sb, b_vals)
+    inter = sk.intersection_estimate(sa, sb)
+    diff = sk.difference_estimate(sa, sb)
+    assert abs(inter - 20_000) <= 6 * sk.params.rse * 100_000
+    assert abs(diff - 40_000) <= 6 * sk.params.rse * 100_000
+    # exact when both below k
+    small_a, small_b = sk.empty(), sk.empty()
+    sk.update_i64(small_a, np.arange(0, 300, dtype=np.int64))
+    sk.update_i64(small_b, np.arange(200, 500, dtype=np.int64))
+    assert sk.intersection_estimate(small_a, small_b) == 100.0
+    assert sk.difference_estimate(small_a, small_b) == 200.0
