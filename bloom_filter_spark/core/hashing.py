@@ -9,9 +9,10 @@ The engine-default mixer is splitmix64 (Steele/Lea/Vigna, public domain) —
 fast, seedable, and behaviorally identical in structure (determinism,
 k-index expansion, pow-2 masking).  For BIT-parity with the reference's
 xxh3 (so a Go-built Bloom blob probes correctly), core/xxh3.py implements
-vectorized XXH3-64 for keys ≤ 16 bytes (all int32/int64 tokens), validated
-against the published sanity vectors; select it with
-BloomParams(hash_family="xxh3").
+vectorized XXH3-64 for keys ≤ 128 bytes (vector-pinned through 64),
+validated against the published sanity vectors; select it with
+BloomParams(hash_family="xxh3").  core/metro.py does the same for the
+cuckoo filter's MetroHash64 (any key length).
 
 Unlike the reference's Bloom filter — whose stored Seed is never actually
 used in hashing (quirk Q1, /root/reference/filter/bloom/filter.go:30,39) —

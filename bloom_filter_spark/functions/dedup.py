@@ -90,27 +90,42 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``df_cap`` drops shingles whose document frequency exceeds the cap from
     the CANDIDATE join only (verification still counts them): one viral
     boilerplate sentence shared by 1% of a 10^9-doc corpus would otherwise
-    pair quadratically on that single join key.  Results are identical to
-    the uncapped join whenever every qualifying pair shares ≥1 non-hot
-    shingle — guaranteed when df_cap exceeds the corpus' max shingle df
-    (always true for the driver fixtures), and at production scale a pair
-    that is τ-similar shares many shingles, overwhelmingly non-hot ones.
-    df_cap=None disables capping (unconditionally exact).
+    pair quadratically on that single join key.  EXACT-duplicate documents
+    are immune to the cap: a content-hash candidate source catches them
+    even when every one of their shingles is hot (a corpus with >df_cap
+    identical copies of one doc would otherwise lose all its pairs).
+    Results are therefore identical to the uncapped join whenever every
+    qualifying NON-identical pair shares ≥1 non-hot shingle — guaranteed
+    when df_cap exceeds the corpus' max shingle df (always true for the
+    driver fixtures); at production scale a τ-similar pair shares many
+    shingles, overwhelmingly non-hot ones.  df_cap=None disables capping
+    (unconditionally exact).
     """
     sh = _shingles(df, text_col, n).cache()
     sh_cand = sh
+    cand_extra = None
     if df_cap is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .where(F.col("df") > df_cap).select("shingle"))
         sh_cand = sh.join(hot, "shingle", "left_anti")
+        # exact duplicates pair via content hash, cap-proof (their pair
+        # count is part of the true output, so this join is output-bound)
+        hashed = df.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+        cand_extra = (hashed.alias("a")
+                      .join(hashed.alias("b"),
+                            (F.col("a.h") == F.col("b.h"))
+                            & (F.col("a.doc_id") < F.col("b.doc_id")))
+                      .select(F.col("a.doc_id").alias("doc_a"),
+                              F.col("b.doc_id").alias("doc_b")))
     a = sh_cand.alias("a")
     b = sh_cand.alias("b")
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    return _verify_pairs_exact_jaccard(cand, sh, threshold)
+                    F.col("b.doc_id").alias("doc_b")))
+    if cand_extra is not None:
+        cand = cand.unionByName(cand_extra)
+    return _verify_pairs_exact_jaccard(cand.distinct(), sh, threshold)
 
 
 # ---------------------------------------------------------------- MinHash LSH

@@ -63,7 +63,8 @@ def extract_features(df: DataFrame) -> DataFrame:
             nz = counts > 0
             denom = np.maximum(lens, 1).astype(np.float64)[:, None]
             probs = np.where(nz, counts / denom, 1.0)  # log2(1)=0 for zeros
-            entropy = -(np.where(nz, probs * np.log2(probs), 0.0)).sum(axis=1)
+            # + 0.0 normalizes the -0.0 an all-zero row sum would negate to
+            entropy = -(np.where(nz, probs * np.log2(probs), 0.0)).sum(axis=1) + 0.0
             widths = np.maximum(np.sqrt(lens).astype(np.int64), 1)
             heights = np.maximum(lens // widths, 1)
             yield pd.DataFrame({

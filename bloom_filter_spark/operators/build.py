@@ -196,6 +196,7 @@ def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
     """
     from .merge import merge_partials_auto, merge_partials_collect
     partials = build_partials(df, sketch, col, value_kind, repartition)
+    partials_direct = partials  # one partial ROW per partition of THIS plan
     if checkpoint is not None and sketch_id is not None:
         partials = checkpoint.write_partials(sketch_id, sketch, partials,
                                              input_desc=_describe_input(df))
@@ -203,7 +204,11 @@ def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
         row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
         blob, n_items = bytes(row.state), int(row.n_items)
     elif tree_merge is None:
-        blob, n_items = merge_partials_auto(partials, sketch, fanin=fanin)
+        # a checkpoint read-back repacks many partial files per scan
+        # partition, so take P from the pre-checkpoint plan instead
+        blob, n_items = merge_partials_auto(
+            partials, sketch, fanin=fanin,
+            est_rows=partials_direct.rdd.getNumPartitions())
     else:
         blob, n_items = merge_partials_collect(partials, sketch)
     if checkpoint is not None and sketch_id is not None:

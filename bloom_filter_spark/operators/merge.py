@@ -73,22 +73,33 @@ AUTO_TREE_THRESHOLD_BYTES = 256 << 20
 
 
 def state_size_estimate(sketch) -> int:
-    """Driver-side serialized-size estimate: exact for fixed-size states
-    (bloom / blocked_bloom / hll / cms — the big ones), a lower bound for
-    the small variable-size sketches (KLL/t-digest/MG/reservoir, all ≤ a
-    few hundred KB by construction, never the routing concern)."""
-    return len(sketch.serialize(sketch.empty()))
+    """Driver-side WORST-CASE serialized-size estimate: exact for
+    fixed-size states (bloom / blocked_bloom / hll / cms — the big ones);
+    for the variable-size sketches the cap is derived from their params
+    (k entries × entry width) so the routing guard never under-counts a
+    full state the way len(serialize(empty())) would."""
+    base = len(sketch.serialize(sketch.empty()))
+    k = getattr(sketch.params, "k", None)
+    if k is not None:  # KMV/reservoir: k×u64; MG: k×(key+count); KLL: ~3k
+        return base + int(k) * 16 + 64
+    if getattr(sketch.params, "compression", None) is not None:
+        return base + int(sketch.params.compression) * 32 + 64  # t-digest
+    return base
 
 
 def merge_partials_auto(partials: DataFrame, sketch, fanin: int = 64,
-                        threshold_bytes: int = AUTO_TREE_THRESHOLD_BYTES
-                        ) -> tuple[bytes, int]:
+                        threshold_bytes: int = AUTO_TREE_THRESHOLD_BYTES,
+                        est_rows: int | None = None) -> tuple[bytes, int]:
     """Merge-strategy router: driver fold when P × |state| is small, the
     fanin-ary executor tree when collecting the partials would blow the
     driver (the caller no longer has to remember a flag at 1000-executor
-    scale).  P is read from the partials plan (one row per input partition
-    by construction — no job is triggered)."""
-    est_rows = partials.rdd.getNumPartitions()
+    scale).  ``est_rows`` should be the partial-ROW count when the caller
+    knows it (build_sketch passes the pre-checkpoint partition count —
+    a checkpoint read-back packs many partial files per scan partition, so
+    getNumPartitions there would under-count); otherwise P is read from
+    the plan (one row per partition on the direct path, no job)."""
+    if est_rows is None:
+        est_rows = partials.rdd.getNumPartitions()
     if est_rows * state_size_estimate(sketch) > threshold_bytes:
         row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
         return bytes(row.state), int(row.n_items)

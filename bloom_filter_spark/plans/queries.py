@@ -128,27 +128,35 @@ def q_blocked_bloom_membership(spark, sf_dir):
     return present.select("token", probe("token").alias("member")).distinct()
 
 
-_CUCKOO_STATES_CACHE: dict[str, list] = {}
+# (sf name, context id) → broadcast handle of the {source: blob} map (one
+# broadcast per sf per context — repeated query invocations must not leak a
+# new broadcast each call)
+_CUCKOO_STATES_CACHE: dict[tuple, object] = {}
 
 
-def _cuckoo_states(spark, sf_dir) -> dict[str, bytes]:
+def _cuckoo_states_bc(spark, sf_dir):
     """Grouped single-writer cuckoo states per source, built once per sf and
-    shared by the membership and delete queries as a {source: blob} map.
+    shared by the membership and delete queries as a broadcast
+    {source: blob} map.
 
     The map is BROADCAST into the probe UDFs (closure capture) rather than
     joined onto the docs: a states-join would replicate each ~32 KB blob
     onto every one of the 60k rows flowing into applyInPandas (measured
     ~2 GB of shuffle amplification and ~100 s at sf0.01); the broadcast
-    ships each blob once per executor."""
-    key = sf_name_of_dir(sf_dir)
+    ships each blob once per executor, and the handle is cached so repeat
+    invocations reuse it instead of accumulating broadcasts."""
+    # keyed by context too: a broadcast from a stopped SparkContext must
+    # not be served to a fresh session (e.g. across test sessions)
+    sf_name = sf_name_of_dir(sf_dir)
+    key = (sf_name, id(spark.sparkContext))
     if key not in _CUCKOO_STATES_CACHE:
         toks = _tokens(spark, sf_dir)
-        n_per_group = rows_for_sf(key)  # upper bound per group
+        n_per_group = rows_for_sf(sf_name)  # upper bound per group
         states = build_grouped_single_writer(
             toks, "cuckoo", CuckooParams(n=max(n_per_group, 64), load_factor=0.8),
             "source", "doc_id", "str")
-        _CUCKOO_STATES_CACHE[key] = {r.group: bytes(r.state)
-                                     for r in states.collect()}
+        blobs = {r.group: bytes(r.state) for r in states.collect()}
+        _CUCKOO_STATES_CACHE[key] = spark.sparkContext.broadcast(blobs)
     return _CUCKOO_STATES_CACHE[key]
 
 
@@ -156,7 +164,7 @@ def q_cuckoo_doc_membership(spark, sf_dir):
     """Grouped single-writer cuckoo per source over doc_ids; every inserted
     doc probes true (zero FN, delete capability tested in pytest)."""
     toks = _tokens(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(_cuckoo_states(spark, sf_dir))
+    bc = _cuckoo_states_bc(spark, sf_dir)
     import pandas as pd
 
     def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -181,7 +189,7 @@ def q_cuckoo_delete_probe(spark, sf_dir):
     fingerprint-collision bound (8 occupied-slot comparisons × ~0.4 load
     / 256 fingerprints ≈ 1.2% ≪ the 5% bound checked here)."""
     toks = _tokens(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(_cuckoo_states(spark, sf_dir))
+    bc = _cuckoo_states_bc(spark, sf_dir)
     import numpy as np
     import pandas as pd
 

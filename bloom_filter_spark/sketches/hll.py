@@ -89,6 +89,11 @@ class HLLSketch:
     def serialize(self, state: np.ndarray) -> bytes:
         """LE u32 b | u64 seed | u8 mode | payload.
 
+        Format v2 (round 2): NOT backward-compatible with v1 blobs (which
+        had registers directly after the seed) — v1 blobs were never
+        persisted beyond a single run (checkpoints are per-run), so no
+        migration path is carried.
+
         mode 0 = dense (m raw registers); mode 1 = SPARSE — u32 count then
         count × (u32 idx | u8 rank).  Sparse is chosen automatically when it
         is smaller (occupied < ~m/5): per-group sketches over small groups

@@ -82,16 +82,23 @@ def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
     eviction semantics, exercised across the 4 micro-batches) while the
     GROUP key is date_trunc on the original TIMESTAMP_NTZ — wall-clock
     bucketing that renders identically under any host zone, so the batch
-    SQL oracle compares safely.  (For 1-hour tumbling windows
-    date_trunc('hour') IS the window start.)
+    SQL oracle compares safely.  Consequence: ``window`` must be a whole
+    date_trunc unit (tumbling '1 minute' / '1 hour' / '1 day'); other
+    widths would need epoch arithmetic on ltz and lose zone-independence,
+    so they raise instead of silently bucketing hourly.
     """
+    units = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}
+    if window not in units:
+        raise ValueError(
+            f"window must be one of {sorted(units)} (zone-independent NTZ "
+            f"date_trunc bucketing), got {window!r}")
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(source_dir))
     agg = (stream
            .withColumn("ts_ltz", F.col(ts_col).cast("timestamp"))
            .withWatermark("ts_ltz", watermark)
-           .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+           .groupBy(F.date_trunc(units[window], F.col(ts_col)).alias("window_start"),
                     "event_type")
            .agg(F.count("*").alias("n"),
                 F.round(F.sum("value"), 4).alias("sum_value")))

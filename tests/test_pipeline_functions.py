@@ -60,6 +60,29 @@ def test_ngram_df_cap_bounds_hot_shingle_join(spark):
     assert max_df <= 50
 
 
+def test_ngram_df_cap_keeps_mass_duplicates(spark):
+    """Docs duplicated MORE than df_cap times have every shingle hot — the
+    content-hash candidate source must still pair them all."""
+    n_copies = 30
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_copies)]
+    rows += [(100 + i, f"unique{i} filler{i} words{i} here{i} now{i}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           dedup.ngram_jaccard_pairs(df, threshold=0.5, df_cap=10).collect()}
+    want_pairs = {(a, b) for a in range(n_copies) for b in range(n_copies) if a < b}
+    assert set(got) == want_pairs
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_windowed_counts_rejects_untruncatable_window(spark, tmp_path):
+    from bloom_filter_spark.streaming.stream_build import windowed_event_counts
+    ev = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        windowed_event_counts(spark, str(tmp_path), ev.schema,
+                              window="30 minutes")
+
+
 def test_exact_dedup_groups(docs):
     out = dedup.exact_dedup(docs)
     assert out.count() == out.select("text_hash").distinct().count()
