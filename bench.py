@@ -104,9 +104,18 @@ def main() -> None:
     timed("bloom_build_preagg", lambda: build_sketch_preagg(
         tokens, BloomSketch(BloomParams(n=65_536, p=0.01)), "tokens", "i32_array"),
         repeats=2)
+    # map-side combine (default strategy): the token data never shuffles —
+    # shuffle volume is P × G states, input-size-independent.  The salted
+    # repartition strategy (full-data shuffle, for huge group domains) is
+    # timed separately so both paths stay visible round-over-round;
+    # BENCH/AB_grouped.json carries the interleaved A/B that attributed the
+    # r2 driver regression on the salted path.
     timed("hll_grouped_by_source", lambda: build_grouped(
+        tokens, HLLSketch(HLLParams(b=12)), "source", "tokens",
+        "i32_array").collect(), repeats=2)
+    timed("hll_grouped_by_source_salted", lambda: build_grouped(
         tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
-        n_salts=cpus, salt_on="doc_id").collect())
+        n_salts=cpus, salt_on="doc_id", strategy="salted").collect())
 
     # pipeline ops on the driver testdata (documents/embeddings)
     if os.path.exists(f"{sf_dir}/documents.parquet"):

@@ -1,27 +1,21 @@
-"""Vectorized XXH3-64 for short inputs (0-128 bytes) — bit-parity with the
+"""Vectorized XXH3-64 for inputs of ANY length — bit-parity with the
 reference's hash (github.com/zeebo/xxh3 == upstream XXH3, used at
 /root/reference/filter/bloom/filter.go:35-50).
 
 Covers every fixed-width token key (int32/int64 = 4/8-byte little-endian
-patterns, the north-rule workload) and byte/string keys up to 128 bytes
-(the 17-128 mix16B ladder); ≥129-byte inputs raise (they need the
-129-240 / accumulator paths — no workload here has such keys).
+patterns, the north-rule workload), the 17-128 mix16B ladder, the 129-240
+midsize ladder, and the >240 stripe-accumulator path (with
+initCustomSecret for seeded digests) — so the reference's own demo
+workload, random strings of length 0-999 (/root/reference/main.go:11,
+31-36), round-trips bit-exactly.
 
-Correctness anchors: the implementation reproduces the six published
-xxHash sanity vectors (xsum_sanity_check.c test buffer, seed=0):
-
-    len=0  -> 0x2D06800538D394C2
-    len=1  -> 0xC44BDFF4074EECDB
-    len=6  -> 0x27B56A84CD2D7325
-    len=12 -> 0xA713DAF0DFBB77E7
-    len=24 -> 0xA3FE70BF9D3510EB
-    len=48 -> 0x397DA259ECBA1F11
-
-checked in tests/test_xxh3.py, which also probes a byte-identical
-reference-layout Bloom blob built by an independent scalar implementation.
-Lengths 65-128 exercise branches with no published vector available in
-this sandbox; they follow the published algorithm and are cross-checked
-scalar-vs-vectorized (parity claims are strongest ≤ 64 bytes).
+Correctness anchors (tests/test_xxh3.py): 11 published seed-0 xxHash
+sanity vectors at lengths 0/1/6/12/24/48/80/195/403/512/2048 plus 8
+withSeed(prime64) vectors at 0/1/6/12/195/403/512/2048 — together pinning
+every length class including the 65-128 ladder, the midsize ladder, and
+the block/scramble accumulator; an independent scalar big-int twin covers
+the in-between lengths; and Go-layout Bloom blobs (int32 and 0-999-byte
+string workloads) round-trip byte-identically in both directions.
 
 All arithmetic is numpy uint64 with wrapping semantics (matching C/Go).
 """
@@ -54,8 +48,22 @@ def _r64(o: int) -> int:
 _PRIME64_1 = U64(0x9E3779B185EBCA87)
 _PRIME64_2 = U64(0xC2B2AE3D27D4EB4F)
 _PRIME64_3 = U64(0x165667B19E3779F9)
+_PRIME64_4 = U64(0x85EBCA77C2B2AE63)
+_PRIME64_5 = U64(0x27D4EB2F165667C5)
+_PRIME32_1 = U64(0x9E3779B1)
+_PRIME32_2 = U64(0x85EBCA77)
+_PRIME32_3 = U64(0xC2B2AE3D)
 _PRIME_MX1 = U64(0x165667919E3779F9)   # XXH3 avalanche multiplier
 _PRIME_MX2 = U64(0x9FB21C651E98DF25)   # rrmxmx multiplier
+
+# long-path (>240 B) layout constants from the published spec
+_STRIPE_LEN = 64
+_SECRET_SIZE = 192
+_STRIPES_PER_BLOCK = (_SECRET_SIZE - _STRIPE_LEN) // 8          # 16
+_BLOCK_LEN = _STRIPE_LEN * _STRIPES_PER_BLOCK                   # 1024
+_ACC_INIT = np.array([_PRIME32_3, _PRIME64_1, _PRIME64_2, _PRIME64_3,
+                      _PRIME64_4, _PRIME32_2, _PRIME64_5, _PRIME32_1], U64)
+_LANE_SWAP = np.array([1, 0, 3, 2, 5, 4, 7, 6])
 
 
 def _xxh64_avalanche(h: np.ndarray) -> np.ndarray:
@@ -117,6 +125,108 @@ def _mixed_seed(seed: int) -> int:
     return (seed ^ (int.from_bytes(lo.to_bytes(4, "little"), "big") << 32)) & _M64
 
 
+_CUSTOM_SECRET_CACHE: dict[int, bytes] = {}
+
+
+def _custom_secret(seed: int) -> bytes:
+    """Long-path secret: kSecret for seed 0, else initCustomSecret — each
+    16-byte lane becomes (lo64 + seed, hi64 - seed)."""
+    if seed == 0:
+        return _SECRET
+    sec = _CUSTOM_SECRET_CACHE.get(seed)
+    if sec is None:
+        w = np.empty(_SECRET_SIZE // 8, dtype="<u8")
+        for i in range(_SECRET_SIZE // 16):
+            w[2 * i] = (_r64(16 * i) + seed) & _M64
+            w[2 * i + 1] = (_r64(16 * i + 8) - seed) & _M64
+        sec = w.tobytes()
+        if len(_CUSTOM_SECRET_CACHE) < 64:
+            _CUSTOM_SECRET_CACHE[seed] = sec
+    return sec
+
+
+def _s64(sec: bytes, off: int) -> int:
+    return int.from_bytes(sec[off:off + 8], "little")
+
+
+def _accumulate(acc: np.ndarray, stripes: np.ndarray,
+                stripe_sec: np.ndarray) -> None:
+    """XXH3_accumulate over a (K, S, 8) u64 stripe tensor with an (S, 8)
+    secret window: per stripe s lane i,
+        acc[i^1] += data[i];  acc[i] += (u32)(data[i]^sec[s,i]) * ((data[i]^sec[s,i]) >> 32)
+    Addition is mod-2^64 commutative, so all S stripes between scrambles
+    fold in one vectorized sum."""
+    mask32 = U64(0xFFFFFFFF)
+    dk = stripes ^ stripe_sec[None, :, :]
+    acc += ((dk & mask32) * (dk >> U64(32))).sum(axis=1, dtype=U64)
+    acc += stripes.sum(axis=1, dtype=U64)[:, _LANE_SWAP]
+
+
+def _scramble(acc: np.ndarray, scramble_sec: np.ndarray) -> np.ndarray:
+    acc = acc ^ (acc >> U64(47))
+    acc = acc ^ scramble_sec[None, :]
+    return acc * _PRIME32_1
+
+
+def _hash_long_accs(mat: np.ndarray, sub: np.ndarray, ln: np.ndarray,
+                    sec: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Shared >240-byte accumulator core for the 64- and 128-bit digests.
+
+    Returns (order, accs): per-key 8-lane accumulator matrices after the
+    final stripe, rows aligned with ``order`` (positions into ``sub``).
+    Keys are grouped by (full blocks, partial stripes) so every group runs
+    fully vectorized across keys AND stripes; the only Python-level loop is
+    over the ≤ a-handful of distinct size classes and full blocks.
+    """
+    sec_u64 = np.frombuffer(sec, "<u8")
+    # stripe s, lane j reads secret bytes [8s, 8s+64) → sliding u64 window
+    stripe_sec = np.lib.stride_tricks.sliding_window_view(
+        sec_u64, 8)[:_STRIPES_PER_BLOCK]
+    scramble_sec = sec_u64[-8:]
+    last_sec = np.array([_s64(sec, _SECRET_SIZE - _STRIPE_LEN - 7 + 8 * j)
+                         for j in range(8)], U64)
+
+    nb_blocks = (ln - 1) // _BLOCK_LEN
+    ns_part = ((ln - 1) - nb_blocks * _BLOCK_LEN) // _STRIPE_LEN
+    order_parts, acc_parts = [], []
+    with np.errstate(over="ignore"):
+        for nb, ns in sorted(set(zip(nb_blocks.tolist(), ns_part.tolist()))):
+            g = np.flatnonzero((nb_blocks == nb) & (ns_part == ns))
+            rows = mat[sub[g]]
+            acc = np.tile(_ACC_INIT, (g.size, 1))
+            for b in range(nb):
+                seg = np.ascontiguousarray(
+                    rows[:, b * _BLOCK_LEN:(b + 1) * _BLOCK_LEN]
+                ).view("<u8").reshape(g.size, _STRIPES_PER_BLOCK, 8)
+                _accumulate(acc, seg, stripe_sec)
+                acc = _scramble(acc, scramble_sec)
+            if ns:
+                off = nb * _BLOCK_LEN
+                seg = np.ascontiguousarray(
+                    rows[:, off:off + ns * _STRIPE_LEN]
+                ).view("<u8").reshape(g.size, ns, 8)
+                _accumulate(acc, seg, stripe_sec[:ns])
+            last = np.stack(
+                [_gather_u64(rows, ln[g] - _STRIPE_LEN + 8 * j)
+                 for j in range(8)], axis=1)
+            _accumulate(acc, last[:, None, :], last_sec[None, :])
+            order_parts.append(g)
+            acc_parts.append(acc)
+    return np.concatenate(order_parts), np.concatenate(acc_parts)
+
+
+def _merge_accs(accs: np.ndarray, sec: bytes, sec_off: int,
+                start: np.ndarray) -> np.ndarray:
+    """XXH3_mergeAccs: start + Σ fold64(acc[2i]^sec, acc[2i+1]^sec')."""
+    res = start.copy()
+    with np.errstate(over="ignore"):
+        for i in range(4):
+            res += _mul128_fold64(
+                accs[:, 2 * i] ^ U64(_s64(sec, sec_off + 16 * i)),
+                accs[:, 2 * i + 1] ^ U64(_s64(sec, sec_off + 16 * i + 8)))
+    return _xxh3_avalanche(res)
+
+
 def xxh3_64_i32(values: np.ndarray, seed: int = 0) -> np.ndarray:
     """XXH3-64 of each int32's 4-byte little-endian pattern (len=4 path:
     input1 == input2 == the single 32-bit word)."""
@@ -157,12 +267,15 @@ def _mix16b(mat: np.ndarray, sub: np.ndarray, off: np.ndarray,
 
 def xxh3_64_bytes(values, seed: int = 0,
                   lengths: np.ndarray | None = None) -> np.ndarray:
-    """XXH3-64 of variable-length byte keys, all ≤ 128 bytes.
+    """XXH3-64 of variable-length byte keys (any length).
 
     Keys are packed into a padded uint8 matrix and processed per length
-    class (0 / 1-3 / 4-8 / 9-16 / 17-128) with masked vectorized kernels.
-    True lengths are taken from the Python objects (trailing NULs
-    preserved).
+    class (0 / 1-3 / 4-8 / 9-16 / 17-128 / 129-240 / >240) with masked
+    vectorized kernels; the >240 accumulator path additionally groups keys
+    by (full blocks, partial stripes) so each group vectorizes across keys
+    and stripes.  True lengths are taken from the Python objects (trailing
+    NULs preserved).  The padded matrix costs N × max_len bytes — callers
+    hashing multi-MB payloads should chunk batches by size class.
 
     Validation scope: every path through length 64 is pinned by the
     published sanity vectors (lengths 0/1/6/12/24/48); the 65-128 branches
@@ -179,10 +292,6 @@ def xxh3_64_bytes(values, seed: int = 0,
         lengths = np.asarray(lengths, np.intp)
     if n == 0:
         return np.empty(0, U64)
-    if lengths.max(initial=0) > 128:
-        raise NotImplementedError(
-            "xxh3 parity implemented for keys ≤ 128 bytes; longer keys need "
-            "the 129-240 / accumulator paths")
     width = max(int(lengths.max(initial=0)), 16) + 8  # slack for gathers
     mat = np.zeros((n, width), np.uint8)
     for i, v in enumerate(vlist):
@@ -237,7 +346,7 @@ def xxh3_64_bytes(values, seed: int = 0,
                    + _mul128_fold64(in_lo, in_hi))
         out[sub] = _xxh3_avalanche(acc)
 
-    m17 = lengths >= 17
+    m17 = (lengths >= 17) & (lengths <= 128)
     if m17.any():
         sub = np.flatnonzero(m17)
         ln = lengths[sub]
@@ -262,6 +371,39 @@ def xxh3_64_bytes(values, seed: int = 0,
             acc += _mix16b(mat, sub, zero, 0, seed)
             acc += _mix16b(mat, sub, ln - 16, 16, seed)
         out[sub] = _xxh3_avalanche(acc)
+
+    m129 = (lengths >= 129) & (lengths <= 240)
+    if m129.any():
+        sub = np.flatnonzero(m129)
+        ln = lengths[sub]
+        with np.errstate(over="ignore"):
+            acc = ln.astype(U64) * _PRIME64_1
+            for i in range(8):
+                acc += _mix16b(mat, sub, np.full(len(sub), 16 * i, np.intp),
+                               16 * i, seed)
+            acc = _xxh3_avalanche(acc)
+            nrounds = ln // 16  # 8..15
+            for i in range(8, 15):
+                g = np.flatnonzero(nrounds > i)
+                if g.size:
+                    # MIDSIZE_STARTOFFSET = 3
+                    acc[g] += _mix16b(mat, sub[g],
+                                      np.full(g.size, 16 * i, np.intp),
+                                      16 * (i - 8) + 3, seed)
+            # last 16 bytes, secret offset SECRET_SIZE_MIN-MIDSIZE_LASTOFFSET
+            acc += _mix16b(mat, sub, ln - 16, 136 - 17, seed)
+        out[sub] = _xxh3_avalanche(acc)
+
+    m241 = lengths > 240
+    if m241.any():
+        sub = np.flatnonzero(m241)
+        ln = lengths[sub]
+        sec = _custom_secret(seed)
+        order, accs = _hash_long_accs(mat, sub, ln, sec)
+        with np.errstate(over="ignore"):
+            start = ln[order].astype(U64) * _PRIME64_1
+        # SECRET_MERGEACCS_START = 11
+        out[sub[order]] = _merge_accs(accs, sec, 11, start)
     return out
 
 

@@ -227,39 +227,23 @@ def _describe_input(df: DataFrame) -> str:
 GROUPED_SCHEMA = "group string, n_items long, state binary"
 
 
-def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
-                  value_kind: str = "i32_array", n_salts: int = 16,
-                  salt_on: str | None = None,
-                  num_partitions: int | None = None) -> DataFrame:
-    """One sketch per group with explicit salt-bucketed two-phase aggregation.
-
-    Phase 1: salted ``repartition(group, salt)`` fans the zipfian-heavy group
-    over ``n_salts`` tasks, then an Arrow-native pass builds one partial per
-    group seen in each partition (dictionary-encoded group labels, tokens
-    bucketed by np.repeat of the label codes — no pandas object columns, no
-    per-row Python).  Phase 2 merges the small per-group states.
-    → DataFrame(group string, n_items long, state binary).
-    """
-    array_input = value_kind == "i32_array"
-    elem_kind = "i32" if array_input else value_kind
-    salt_src = (F.xxhash64(F.col(salt_on)) if salt_on
-                else F.xxhash64(F.monotonically_increasing_id()))
-    base = df.select(
-        F.col(group_col).cast("string").alias("group"),
-        F.pmod(salt_src, F.lit(n_salts)).alias("salt"),
-        F.col(col).alias("v"),
-    )
-    shuffled = base.repartition(num_partitions, "group", "salt") if num_partitions \
-        else base.repartition("group", "salt")
+def _grouped_phase1_fn(sketch, array_input: bool, elem_kind: str,
+                       value_col_idx: int):
+    """Arrow-native grouped partial pass shared by the map-side and salted
+    strategies: dictionary-encode the group labels, bucket token values by
+    np.repeat of the label codes, fold one sketch state per group seen —
+    no pandas object columns, no per-row Python (string values are filtered
+    group-by-group with Arrow compute, not a zip loop)."""
 
     def phase1(batches):
         import pyarrow as pa
-        states: dict[str, tuple] = {}
+        states: dict[str, list] = {}
         for b in batches:
             enc = b.column(0).dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False)
             groups = enc.dictionary.to_pylist()
-            vcol = b.column(2)
+            vcol = b.column(value_col_idx)
+            str_input = elem_kind == "str" and not array_input
             if array_input:
                 import pyarrow.compute as pc
                 # list_value_length is null for null rows; flatten() skips
@@ -269,14 +253,16 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
                 flat = vcol.flatten().to_numpy(zero_copy_only=False).astype(
                     np.int32, copy=False)
                 owner = np.repeat(codes, lengths)
+            elif str_input:
+                flat = vcol  # stays an Arrow array; filtered per group below
+                owner = codes
             else:
-                flat = (vcol.to_pylist() if elem_kind == "str"
-                        else vcol.to_numpy(zero_copy_only=False))
+                flat = vcol.to_numpy(zero_copy_only=False)
                 owner = codes
             for gi, gname in enumerate(groups):
                 mask = owner == gi
-                if elem_kind == "str":
-                    vals = [v for v, m in zip(flat, mask) if m and v is not None]
+                if str_input:
+                    vals = flat.filter(pa.array(mask)).drop_null().to_pylist()
                 else:
                     vals = flat[mask]
                 if gname not in states:
@@ -289,12 +275,66 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
                               pa.binary()),
         })
 
+    return phase1
+
+
+def _grouped_phase2_fn(sketch):
     def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
         from .merge import merge_blobs
         blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
         return pd.DataFrame({"group": [pdf["group"].iloc[0]], "n_items": [n],
                              "state": [blob]})
+    return phase2
 
+
+def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
+                  value_kind: str = "i32_array", n_salts: int = 16,
+                  salt_on: str | None = None,
+                  num_partitions: int | None = None,
+                  strategy: str = "mapside") -> DataFrame:
+    """One sketch per group as a two-phase mergeable aggregation.
+    → DataFrame(group string, n_items long, state binary).
+
+    ``strategy="mapside"`` (default): phase 1 folds each INPUT partition's
+    rows into one partial per group it contains — the token data never
+    shuffles at all (classic map-side combine); only the P × G small state
+    rows move into the phase-2 merge.  Skew-immune by construction: tasks
+    are input splits, so a 45 %-heavy group costs each task at most its own
+    split.  Memory is G_local × |state| per task — right whenever the group
+    domain is modest (sources, languages, shards).  At 10^12 rows this is
+    the only strategy whose shuffle volume is independent of input size.
+
+    ``strategy="salted"``: the north rule's explicit salted repartition —
+    phase 1 after ``repartition(group, salt)`` (caps any single task at
+    group/n_salts rows), phase 2 merges the n_salts states per group.
+    Right when the group domain is too large for G × |state| to sit in one
+    task's memory, at the price of shuffling the full data once.
+    """
+    array_input = value_kind == "i32_array"
+    elem_kind = "i32" if array_input else value_kind
+    phase2 = _grouped_phase2_fn(sketch)
+
+    if strategy == "mapside":
+        base = df.select(F.col(group_col).cast("string").alias("group"),
+                         F.col(col).alias("v"))
+        if num_partitions:
+            base = base.repartition(num_partitions)
+        phase1 = _grouped_phase1_fn(sketch, array_input, elem_kind, 1)
+        partials = base.mapInArrow(phase1, GROUPED_SCHEMA)
+        return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
+
+    if strategy != "salted":
+        raise ValueError(f"unknown grouped-build strategy {strategy!r}")
+    salt_src = (F.xxhash64(F.col(salt_on)) if salt_on
+                else F.xxhash64(F.monotonically_increasing_id()))
+    base = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.pmod(salt_src, F.lit(n_salts)).alias("salt"),
+        F.col(col).alias("v"),
+    )
+    shuffled = base.repartition(num_partitions, "group", "salt") if num_partitions \
+        else base.repartition("group", "salt")
+    phase1 = _grouped_phase1_fn(sketch, array_input, elem_kind, 2)
     partials = shuffled.mapInArrow(phase1, GROUPED_SCHEMA)
     return partials.groupBy("group").applyInPandas(phase2, GROUPED_SCHEMA)
 
@@ -326,13 +366,13 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
             enc = b.column(0).dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False)
             groups = enc.dictionary.to_pylist()
-            vals_all = (b.column(1).to_pylist() if elem_kind == "str"
+            vals_all = (b.column(1) if elem_kind == "str"
                         else b.column(1).to_numpy(zero_copy_only=False))
             w_all = b.column(2).to_numpy(zero_copy_only=False)
             for gi, gname in enumerate(groups):
                 mask = codes == gi
                 if elem_kind == "str":
-                    vals = [x for x, m_ in zip(vals_all, mask) if m_]
+                    vals = vals_all.filter(pa.array(mask)).to_pylist()
                 else:
                     vals = vals_all[mask]
                 w = w_all[mask]

@@ -78,6 +78,11 @@ def state_size_estimate(sketch) -> int:
     for the variable-size sketches the cap is derived from their params
     (k entries × entry width) so the routing guard never under-counts a
     full state the way len(serialize(empty())) would."""
+    if sketch.kind == "hll":
+        # sparse serde makes an EMPTY state ~17 B while a dense partial is
+        # 13 + 2^b (16 KiB at b=14, 1 MiB at b=20) — size the router on the
+        # dense worst case or every HLL fleet would route to driver collect
+        return 13 + (1 << sketch.params.b)
     base = len(sketch.serialize(sketch.empty()))
     k = getattr(sketch.params, "k", None)
     if k is not None:  # KMV/reservoir: k×u64; MG: k×(key+count); KLL: ~3k

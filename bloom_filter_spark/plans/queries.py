@@ -264,8 +264,7 @@ def q_kmv_source_intersection(spark, sf_dir):
     from ..sketches import KMVParams, KMVSketch
     toks = _tokens(spark, sf_dir)
     sk = KMVSketch(KMVParams(k=4096))
-    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array",
-                            n_salts=16, salt_on="doc_id")
+    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array")
     states = {r.group: KMVSketch.deserialize(bytes(r.state))[1]
               for r in grouped.collect()}
     counts = {r.source: r.c for r in
@@ -287,11 +286,12 @@ def q_kmv_source_intersection(spark, sf_dir):
 
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
-    path: 45% of rows share one source)."""
+    path: 45% of rows share one source).  The map-side strategy is proven
+    bit-identical to this path in tests/test_spark_build.py."""
     toks = _tokens(spark, sf_dir)
     sk = HLLSketch(HLLParams(b=HLL_B))
     grouped = build_grouped(toks, sk, "source", "tokens", "i32_array",
-                            n_salts=16, salt_on="doc_id")
+                            n_salts=16, salt_on="doc_id", strategy="salted")
     rows = grouped.collect()
     exact = {r.source: r.cnt for r in
              toks.select("source", F.explode("tokens").alias("t"))

@@ -61,8 +61,12 @@ def main() -> None:
     ap.add_argument("--pre-aggregate", action="store_true",
                     help="JVM partial-agg path (small key domains)")
     ap.add_argument("--group-by", default=None,
-                    help="build one sketch per value of this column (salted)")
+                    help="build one sketch per value of this column")
     ap.add_argument("--n-salts", type=int, default=16)
+    ap.add_argument("--grouped-strategy", default="mapside",
+                    choices=("mapside", "salted"),
+                    help="mapside: no data shuffle (modest group domains); "
+                         "salted: repartition(group, salt) for huge domains")
     args = ap.parse_args()
 
     from bloom_filter_spark.operators import (
@@ -79,7 +83,8 @@ def main() -> None:
     out: dict = {"kind": args.kind, "input": args.input}
     if args.group_by:
         rows = build_grouped(df, sketch, args.group_by, args.col,
-                             args.value_kind, n_salts=args.n_salts).collect()
+                             args.value_kind, n_salts=args.n_salts,
+                             strategy=args.grouped_strategy).collect()
         out["groups"] = {r.group: r.n_items for r in rows}
         n_items = sum(r.n_items for r in rows)
         if ck and args.sketch_id:

