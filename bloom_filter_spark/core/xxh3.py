@@ -98,8 +98,8 @@ def _rrmxmx(x: np.ndarray, length: int) -> np.ndarray:
     return x
 
 
-def _mul128_fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Full 64x64->128 product folded lo^hi, via 32-bit limbs (numpy has no
+def _mul128(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full 64x64->128 product as (lo, hi), via 32-bit limbs (numpy has no
     128-bit ints): a*b = (ah*bh)<<64 + (ah*bl + al*bh)<<32 + al*bl."""
     mask32 = U64(0xFFFFFFFF)
     al, ah = a & mask32, a >> U64(32)
@@ -116,6 +116,11 @@ def _mul128_fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cross2 = hl + cross_lo             # ≤ 2^64-2^33, no overflow
         lo = (ll & mask32) | ((cross2 & mask32) << U64(32))
         hi = hh + cross_hi + (cross2 >> U64(32))
+    return lo, hi
+
+
+def _mul128_fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lo, hi = _mul128(a, b)
     return lo ^ hi
 
 
@@ -410,3 +415,215 @@ def xxh3_64_bytes(values, seed: int = 0,
 def xxh3_64(data: bytes, seed: int = 0) -> int:
     """Scalar convenience wrapper (≤16 bytes)."""
     return int(xxh3_64_bytes([data], seed)[0])
+
+
+def _mix32b(accl, acch, mat, sub, off1, off2, soff: int, seed: int):
+    """XXH128_mix32B over per-row offset vectors off1/off2."""
+    rows = mat[sub]
+    with np.errstate(over="ignore"):
+        accl = accl + _mix16b(mat, sub, off1, soff, seed)
+        accl = accl ^ (_gather_u64(rows, off2) + _gather_u64(rows, off2 + 8))
+        acch = acch + _mix16b(mat, sub, off2, soff + 16, seed)
+        acch = acch ^ (_gather_u64(rows, off1) + _gather_u64(rows, off1 + 8))
+    return accl, acch
+
+
+def xxh3_128_bytes(values, seed: int = 0,
+                   lengths: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """XXH3-128 of variable-length byte keys (any length) → (lo, hi) u64
+    vectors — bit-parity with the reference blocked-bloom's xxh3.Hash128
+    (/root/reference/filter/blocked-bloom/filter.go:42-49: Lo selects the
+    block, Hi feeds the in-block double hash).
+
+    Same per-length-class vectorization as xxh3_64_bytes; the >240 path
+    shares _hash_long_accs and differs only in the second mergeAccs for the
+    high word (secret offset 117, start ~(len*PRIME64_2))."""
+    vlist = values if isinstance(values, (list, tuple)) else list(values)
+    n = len(vlist)
+    if lengths is None:
+        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
+    else:
+        lengths = np.asarray(lengths, np.intp)
+    if n == 0:
+        return np.empty(0, U64), np.empty(0, U64)
+    width = max(int(lengths.max(initial=0)), 32) + 8
+    mat = np.zeros((n, width), np.uint8)
+    for i, v in enumerate(vlist):
+        if len(v):
+            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
+    out_lo = np.empty(n, U64)
+    out_hi = np.empty(n, U64)
+
+    m0 = lengths == 0
+    if m0.any():
+        k = int(m0.sum())
+        lo0 = U64((seed ^ _r64(64) ^ _r64(72)) & _M64)
+        hi0 = U64((seed ^ _r64(80) ^ _r64(88)) & _M64)
+        out_lo[m0] = _xxh64_avalanche(np.full(k, lo0, U64))
+        out_hi[m0] = _xxh64_avalanche(np.full(k, hi0, U64))
+
+    m13 = (lengths >= 1) & (lengths <= 3)
+    if m13.any():
+        sub = np.flatnonzero(m13)
+        ln = lengths[sub]
+        c1 = mat[sub, 0].astype(np.uint32)
+        c2 = mat[sub, ln >> 1].astype(np.uint32)
+        c3 = mat[sub, ln - 1].astype(np.uint32)
+        combinedl = ((c1 << 16) | (c2 << 24) | c3
+                     | (ln.astype(np.uint32) << 8))
+        combinedh = combinedl.byteswap()
+        combinedh = (combinedh << np.uint32(13)) | (combinedh >> np.uint32(19))
+        bfl = U64(((_r32(0) ^ _r32(4)) + seed) & _M64)
+        bfh = U64(((_r32(8) ^ _r32(12)) - seed) & _M64)
+        out_lo[sub] = _xxh64_avalanche(combinedl.astype(U64) ^ bfl)
+        out_hi[sub] = _xxh64_avalanche(combinedh.astype(U64) ^ bfh)
+
+    m48 = (lengths >= 4) & (lengths <= 8)
+    if m48.any():
+        sub = np.flatnonzero(m48)
+        ln = lengths[sub]
+        s = _mixed_seed(seed)
+        in_first = _gather_u64(mat[sub], np.zeros(len(sub), np.intp)) \
+            & U64(0xFFFFFFFF)
+        in_last = _gather_u64(mat[sub], ln - 4) & U64(0xFFFFFFFF)
+        bitflip = U64(((_r64(16) ^ _r64(24)) + s) & _M64)
+        with np.errstate(over="ignore"):
+            keyed = (in_first + (in_last << U64(32))) ^ bitflip
+            pl = _PRIME64_1 + (ln.astype(U64) << U64(2))
+            lo, hi = _mul128(keyed, pl)
+            hi = hi + (lo << U64(1))
+            lo = lo ^ (hi >> U64(3))
+            lo = lo ^ (lo >> U64(35))
+            lo = lo * _PRIME_MX2
+            lo = lo ^ (lo >> U64(28))
+        out_lo[sub] = lo
+        out_hi[sub] = _xxh3_avalanche(hi)
+
+    m916 = (lengths >= 9) & (lengths <= 16)
+    if m916.any():
+        sub = np.flatnonzero(m916)
+        ln = lengths[sub]
+        bfl = U64(((_r64(32) ^ _r64(40)) - seed) & _M64)
+        bfh = U64(((_r64(48) ^ _r64(56)) + seed) & _M64)
+        in_lo = _gather_u64(mat[sub], np.zeros(len(sub), np.intp))
+        in_hi = _gather_u64(mat[sub], ln - 8)
+        with np.errstate(over="ignore"):
+            mlo, mhi = _mul128(in_lo ^ in_hi ^ bfl, _PRIME64_1)
+            mlo = mlo + ((ln.astype(U64) - U64(1)) << U64(54))
+            in_hi = in_hi ^ bfh
+            mhi = mhi + in_hi + (in_hi & U64(0xFFFFFFFF)) * (_PRIME32_2 - U64(1))
+            mlo = mlo ^ mhi.byteswap()
+            hlo, hhi = _mul128(mlo, _PRIME64_2)
+            hhi = hhi + mhi * _PRIME64_2
+        out_lo[sub] = _xxh3_avalanche(hlo)
+        out_hi[sub] = _xxh3_avalanche(hhi)
+
+    def _final_midsize(accl, acch, ln):
+        with np.errstate(over="ignore"):
+            lo = _xxh3_avalanche(accl + acch)
+            hi = (accl * _PRIME64_1 + acch * _PRIME64_4
+                  + (ln.astype(U64) - U64(seed & _M64)) * _PRIME64_2)
+            hi = U64(0) - _xxh3_avalanche(hi)
+        return lo, hi
+
+    m17 = (lengths >= 17) & (lengths <= 128)
+    if m17.any():
+        sub = np.flatnonzero(m17)
+        ln = lengths[sub]
+        with np.errstate(over="ignore"):
+            accl = ln.astype(U64) * _PRIME64_1
+        acch = np.zeros(len(sub), U64)
+        i_max = (ln - 1) // 32
+        for i in (3, 2, 1, 0):  # descending, matching the unrolled ladder
+            g = np.flatnonzero(i_max >= i)
+            if not g.size:
+                continue
+            in1 = np.full(g.size, 16 * i, np.intp)
+            in2 = ln[g] - 16 * (i + 1)
+            al, ah = _mix32b(accl[g], acch[g], mat, sub[g], in1, in2,
+                             32 * i, seed)
+            accl[g], acch[g] = al, ah
+        out_lo[sub], out_hi[sub] = _final_midsize(accl, acch, ln)
+
+    m129 = (lengths >= 129) & (lengths <= 240)
+    if m129.any():
+        sub = np.flatnonzero(m129)
+        ln = lengths[sub]
+        with np.errstate(over="ignore"):
+            accl = ln.astype(U64) * _PRIME64_1
+        acch = np.zeros(len(sub), U64)
+        for i in range(4):
+            in1 = np.full(len(sub), 32 * i, np.intp)
+            accl, acch = _mix32b(accl, acch, mat, sub, in1, in1 + 16,
+                                 32 * i, seed)
+        accl = _xxh3_avalanche(accl)
+        acch = _xxh3_avalanche(acch)
+        nrounds = ln // 32  # 4..7
+        for i in range(4, 8):
+            g = np.flatnonzero(nrounds > i)
+            if not g.size:
+                continue
+            in1 = np.full(g.size, 32 * i, np.intp)
+            # MIDSIZE_STARTOFFSET = 3
+            al, ah = _mix32b(accl[g], acch[g], mat, sub[g], in1, in1 + 16,
+                             3 + 32 * (i - 4), seed)
+            accl[g], acch[g] = al, ah
+        # last 32 bytes, swapped operands, negated seed, secret offset
+        # SECRET_SIZE_MIN - MIDSIZE_LASTOFFSET - 16 = 103
+        accl, acch = _mix32b(accl, acch, mat, sub, ln - 16, ln - 32,
+                             103, (-seed) & _M64)
+        out_lo[sub], out_hi[sub] = _final_midsize(accl, acch, ln)
+
+    m241 = lengths > 240
+    if m241.any():
+        sub = np.flatnonzero(m241)
+        ln = lengths[sub]
+        sec = _custom_secret(seed)
+        order, accs = _hash_long_accs(mat, sub, ln, sec)
+        lno = ln[order].astype(U64)
+        with np.errstate(over="ignore"):
+            out_lo[sub[order]] = _merge_accs(accs, sec, 11, lno * _PRIME64_1)
+            out_hi[sub[order]] = _merge_accs(
+                accs, sec, _SECRET_SIZE - 64 - 11,
+                ~(lno * _PRIME64_2))
+    return out_lo, out_hi
+
+
+def xxh3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Scalar convenience wrapper → (lo, hi)."""
+    lo, hi = xxh3_128_bytes([data], seed)
+    return int(lo[0]), int(hi[0])
+
+
+def _len4to8_128(keyed: np.ndarray, length: int) -> tuple[np.ndarray, np.ndarray]:
+    with np.errstate(over="ignore"):
+        lo, hi = _mul128(keyed, _PRIME64_1 + U64(length << 2))
+        hi = hi + (lo << U64(1))
+        lo = lo ^ (hi >> U64(3))
+        lo = lo ^ (lo >> U64(35))
+        lo = lo * _PRIME_MX2
+        lo = lo ^ (lo >> U64(28))
+    return lo, _xxh3_avalanche(hi)
+
+
+def xxh3_128_i32(values: np.ndarray, seed: int = 0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """XXH3-128 of each int32's 4-byte LE pattern (len=4: first word ==
+    last word == the value)."""
+    v = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(U64)
+    s = _mixed_seed(seed)
+    bitflip = U64(((_r64(16) ^ _r64(24)) + s) & _M64)
+    with np.errstate(over="ignore"):
+        keyed = (v + (v << U64(32))) ^ bitflip
+    return _len4to8_128(keyed, 4)
+
+
+def xxh3_128_i64(values: np.ndarray, seed: int = 0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """XXH3-128 of each int64's 8-byte LE pattern (len=8: input64 ==
+    low32 + (high32 << 32) == the value itself)."""
+    v = np.ascontiguousarray(values, dtype=np.int64).view(U64)
+    s = _mixed_seed(seed)
+    bitflip = U64(((_r64(16) ^ _r64(24)) + s) & _M64)
+    return _len4to8_128(v ^ bitflip, 8)

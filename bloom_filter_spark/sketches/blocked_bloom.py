@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core import hashing
+from ..core import hashing, xxh3
 from ..core.serde import Reader, pack_u32, pack_u64
 from .base import register
 
@@ -39,6 +39,7 @@ class BlockedBloomParams:
     n: int
     p: float
     seed: int = hashing.DEFAULT_SEED
+    hash_family: str = "splitmix"  # "xxh3" = reference Hash128 bit-parity
     m: int = field(init=False)
     n_blocks: int = field(init=False)
     n_words: int = field(init=False)
@@ -73,8 +74,19 @@ class BlockedBloomSketch:
         return base[:, None] + inblock
 
     def _two_hashes(self, values, kind: str) -> tuple[np.ndarray, np.ndarray]:
-        # the reference uses one 128-bit xxh3 (filter.go:41); we derive the
-        # two 64-bit halves from two independent seeded mixes.
+        # the reference uses one 128-bit xxh3 (filter.go:41-45: Lo selects
+        # the block, Hi feeds the in-block double hash).  hash_family="xxh3"
+        # reproduces that bit-exactly (UNSEEDED Hash128, matching the Go
+        # call); the default engine family derives the two halves from two
+        # independent seeded splitmix passes.
+        if self.params.hash_family == "xxh3":
+            if kind == "i32":
+                return xxh3.xxh3_128_i32(values)
+            if kind == "i64":
+                return xxh3.xxh3_128_i64(values)
+            enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                   for v in values]
+            return xxh3.xxh3_128_bytes(enc)
         s = self.params.seed
         fn = {"str": hashing.hash64_str, "i32": hashing.hash64_i32,
               "i64": hashing.hash64_i64}[kind]
@@ -120,7 +132,7 @@ class BlockedBloomSketch:
         return pack_u32(p.m) + pack_u32(K) + pack_u64(p.seed) + state.astype("<u8").tobytes()
 
     @classmethod
-    def deserialize(cls, blob: bytes):
+    def deserialize(cls, blob: bytes, hash_family: str = "splitmix"):
         r = Reader(blob)
         m = r.u32()
         _k = r.u32()
@@ -130,6 +142,7 @@ class BlockedBloomSketch:
         object.__setattr__(params, "n", 0)
         object.__setattr__(params, "p", 0.0)
         object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "hash_family", hash_family)
         object.__setattr__(params, "m", m)
         object.__setattr__(params, "n_blocks", m // BLOCK_BITS)
         object.__setattr__(params, "n_words", m // 64)
