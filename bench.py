@@ -117,13 +117,19 @@ def main() -> None:
         tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
         n_salts=cpus, salt_on="doc_id", strategy="salted").collect())
 
-    # pipeline ops on the driver testdata (documents/embeddings)
-    if os.path.exists(f"{sf_dir}/documents.parquet"):
+    # pipeline ops on the driver testdata (documents/embeddings); above
+    # sf0.1 the driver ships no doc/emb tables, so the deterministic
+    # fixture twins stand in (same schema and workload shape)
+    docs_dir = sf_dir
+    if not os.path.exists(f"{docs_dir}/documents.parquet"):
+        from bloom_filter_spark.sources.fixtures import ensure_doc_fixtures
+        docs_dir = ensure_doc_fixtures(sf_name)
+    if os.path.exists(f"{docs_dir}/documents.parquet"):
         from bloom_filter_spark.functions import dedup, similarity
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
         timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
             docs, threshold=0.5).count())
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = spark.read.parquet(f"{docs_dir}/embeddings.parquet")
         timed("embedding_cosine_topk", lambda: similarity.brute_force_topk(
             emb, list(range(10)), k=5).count())
         # scale-regime parameters (τ=0.85 near-dup, 16-bit tables): the

@@ -80,8 +80,13 @@ def _verify_pairs_exact_jaccard(cand: DataFrame, sh: DataFrame,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5, n: int = NGRAM,
-                        df_cap: int | None = 1000) -> DataFrame:
+                        df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    Default df_cap=None keeps the historical unconditionally-exact
+    semantics (ADVICE r2: capping changed results for existing callers
+    with no opt-in); SCALE callers must pass a cap — the driver query and
+    every 100-TB-shaped path use df_cap=1000.
 
     Inverted-index plan: explode shingles once, generate candidate pairs by
     self-equi-join on shingle (only co-occurring docs pair up), then verify
@@ -216,43 +221,82 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
-                      id_b: str = "doc_b", max_iters: int = 20) -> DataFrame:
+                      id_b: str = "doc_b", max_iters: int = 20,
+                      stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, cluster_id)
     with cluster_id = min doc id in the component; the keep-one dedup policy
     is then "keep doc_id == cluster_id".
 
-    Distributed label propagation: iterate min-label exchange along edges
-    until a fixed point (diameter-bounded; near-dup components are tiny, so
-    a handful of rounds).  No driver-side collection of the graph.
+    Distributed min-label propagation with POINTER DOUBLING: each round
+    folds in (a) the min label over graph neighbors and (b) the label of
+    the node's own label (path halving — the same O(log diameter) round
+    bound as alternating large-star/small-star, one extra small self-join
+    per round instead of a re-materialized edge set).  A 64-node chain
+    converges in ≤ ⌈log₂ 64⌉ + 1 rounds (tests/test_pipeline_functions.py)
+    where plain propagation needs 63; boilerplate families that chain
+    through overlapping near-dups are exactly this shape at corpus scale.
+
+    Labels only ever decrease and always hold a node id from the same
+    component, so the fixed point is the component minimum; max_iters=20
+    therefore covers any diameter ≤ 2^19.  If the loop somehow exhausts
+    max_iters with changes still flowing, a warning is emitted instead of
+    silently returning split clusters (ADVICE r2).
     """
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
              .distinct().cache())
+    # each round references labels THREE times (edge join, label-of-label,
+    # changed-count), so the lineage grows 3^r without a cut — eager
+    # localCheckpoint per round truncates the plan and materializes the
+    # (node, label) table, which is also what a 1000-executor run needs
+    # (no recompute cascades across rounds)
     labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
+              .withColumn("label", F.col("node")).localCheckpoint())
+    changed = 0
+    rounds = 0
     try:
         for _ in range(max_iters):
+            rounds += 1
             prop = (edges.join(labels, edges.b == labels.node)
                     .groupBy("a").agg(F.min("label").alias("nbr_label")))
-            new_labels = (labels.join(prop, labels.node == prop.a, "left")
+            # label-of-label: every label value is itself a node id, so the
+            # self-join is total; shrinks label chains by half each round
+            ll = (labels.alias("x")
+                  .join(labels.alias("y"),
+                        F.col("x.label") == F.col("y.node"))
+                  .select(F.col("x.node").alias("lnode"),
+                          F.col("y.label").alias("ll_label")))
+            new_labels = (labels
+                          .join(prop, labels.node == prop.a, "left")
+                          .join(ll, labels.node == ll.lnode, "left")
                           .select("node", F.least(
                               F.col("label"),
-                              F.coalesce(F.col("nbr_label"), F.col("label"))
-                          ).alias("label")).cache())
+                              F.coalesce(F.col("nbr_label"), F.col("label")),
+                              F.coalesce(F.col("ll_label"), F.col("label"))
+                          ).alias("label")).localCheckpoint())
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                        .where(F.col("n.label") != F.col("o.label")).count())
-            if labels.is_cached:
-                labels.unpersist()
+            labels.rdd.unpersist(False)  # free the previous round's blocks
             labels = new_labels
             if changed == 0:
                 break
-        # materialize before releasing the caches the plan depends on
+        if stats is not None:
+            # the last round only confirms changed == 0, so the work metric
+            # is the number of label-updating rounds
+            stats["rounds"] = rounds
+            stats["changed_rounds"] = rounds - (1 if changed == 0 else 0)
+        if changed != 0:
+            import warnings
+            warnings.warn(
+                f"near_dup_clusters: {changed} labels still changing after "
+                f"max_iters={max_iters} rounds — returned cluster ids may "
+                "split components; raise max_iters",
+                RuntimeWarning, stacklevel=2)
         out = labels.select(F.col("node").alias("doc_id"),
                             F.col("label").alias("cluster_id")).localCheckpoint()
     finally:
-        if labels.is_cached:
-            labels.unpersist()
+        labels.rdd.unpersist(False)
         edges.unpersist()
     return out
 

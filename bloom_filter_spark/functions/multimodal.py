@@ -87,13 +87,12 @@ def frame_sample_stub(df: DataFrame, every_n: int = 16) -> DataFrame:
         for pdf in it:
             if not len(pdf):
                 continue
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                n_frames = max(buf.size // 16, 1)
-                kept = list(range(0, n_frames, every_n))
-                out.append((doc_id, n_frames, len(kept)))
-            yield pd.DataFrame(out, columns=["doc_id", "n_frames", "n_sampled"])
+            lens = pdf["payload"].map(len).to_numpy(np.int64)
+            n_frames = np.maximum(lens // 16, 1)
+            n_sampled = -(-n_frames // every_n)  # ceil-div, no row loop
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_frames": n_frames,
+                                "n_sampled": n_sampled})
 
     return df.select("doc_id", "payload").mapInPandas(
         frames, "doc_id string, n_frames long, n_sampled long")

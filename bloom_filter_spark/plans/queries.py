@@ -145,10 +145,15 @@ def _cuckoo_states_bc(spark, sf_dir):
     ~2 GB of shuffle amplification and ~100 s at sf0.01); the broadcast
     ships each blob once per executor, and the handle is cached so repeat
     invocations reuse it instead of accumulating broadcasts."""
-    # keyed by context too: a broadcast from a stopped SparkContext must
-    # not be served to a fresh session (e.g. across test sessions)
+    # keyed by applicationId (stable + unique per context, unlike id()
+    # which a later context can reuse after GC); entries from stopped
+    # contexts are dropped so the cache cannot accumulate dead broadcasts
     sf_name = sf_name_of_dir(sf_dir)
-    key = (sf_name, id(spark.sparkContext))
+    sc = spark.sparkContext
+    for k in [k for k in _CUCKOO_STATES_CACHE
+              if k[1] != sc.applicationId]:
+        del _CUCKOO_STATES_CACHE[k]
+    key = (sf_name, sc.applicationId)
     if key not in _CUCKOO_STATES_CACHE:
         toks = _tokens(spark, sf_dir)
         n_per_group = rows_for_sf(sf_name)  # upper bound per group

@@ -153,6 +153,136 @@ def ensure_fixtures(sf_name: str, root: str | None = None) -> str:
     return final
 
 
+# ---------------------------------------------------------------------------
+# documents/embeddings fixture twins (verdict r2 #3): the driver testdata
+# caps documents at 5,000 and embeddings at 2,000 rows even at sf0.1, so the
+# dedup/ANN operators had never run above that.  These synthesize the same
+# SCHEMA and workload shape — zipfian word salad with planted exact-dup and
+# near-dup families; unit vectors in 16 spherical clusters with planted
+# high-cosine pairs — deterministically (chunk-derived seeds) at any sf.
+DOC_ROWS_PER_SF = 50_000       # sf0.1 → 5,000 (matches testdata); sf1 → 50,000
+EMB_ROWS_PER_SF = 20_000       # sf0.1 → 2,000;                    sf1 → 20,000
+DOC_VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+             "spark order data column join small line customer query big "
+             "the a group sort window filter stream vector shuffle stage "
+             "task executor driver broadcast skew salt bucket codegen arrow "
+             "pandas numpy sketch bloom bit array index probe insert delete "
+             "union state store commit offset epoch trigger sink source "
+             "schema field type cast alias limit sample cache persist "
+             "checkpoint plan cost rule prune push project exchange").split()
+DOC_LANGS = ["en", "de", "es", "fr"]
+EMB_DIM = 64
+EMB_CLUSTERS = 16
+DOC_CHUNK = 10_000
+
+DOC_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+    ("n_chars", pa.int64()),
+])
+EMB_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()),
+    ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+])
+
+
+def _gen_doc_chunk(chunk_idx: int, start: int, n: int) -> pa.Table:
+    rng = np.random.default_rng([SEED, 7001, chunk_idx])
+    zipf_w = 1.0 / np.arange(1, len(DOC_VOCAB) + 1) ** 0.4
+    zipf_w /= zipf_w.sum()
+    texts: list[str] = []
+    for i in range(n):
+        gid = start + i
+        if gid % 50 == 49 and texts:
+            texts.append(texts[-1])                # exact duplicate
+            continue
+        if gid % 20 == 19 and texts:               # near-dup: ~10% word swap
+            words = texts[-1].split()
+            k = max(1, len(words) // 10)
+            pos = rng.integers(0, len(words), k)
+            repl = rng.choice(len(DOC_VOCAB), k, p=zipf_w)
+            for p_, r_ in zip(pos, repl):
+                words[int(p_)] = DOC_VOCAB[int(r_)]
+            texts.append(" ".join(words))
+            continue
+        ln = int(rng.integers(30, 121))
+        idx = rng.choice(len(DOC_VOCAB), ln, p=zipf_w)
+        texts.append(" ".join(DOC_VOCAB[j] for j in idx))
+    langs = [DOC_LANGS[int(x)] for x in rng.choice(4, n, p=[0.6, 0.2, 0.12, 0.08])]
+    srcs = [SOURCES[int(x)] for x in rng.choice(8, n, p=SOURCE_WEIGHTS)]
+    return pa.table({
+        "doc_id": pa.array(np.arange(start, start + n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(srcs),
+        "n_chars": pa.array(np.fromiter((len(t) for t in texts), np.int64, n)),
+    }, schema=DOC_SCHEMA)
+
+
+def _gen_emb_chunk(chunk_idx: int, start: int, n: int,
+                   centroids: np.ndarray) -> pa.Table:
+    rng = np.random.default_rng([SEED, 7002, chunk_idx])
+    cl = rng.integers(0, EMB_CLUSTERS, n)
+    v = centroids[cl] + 0.6 * rng.standard_normal((n, EMB_DIM))
+    # planted near-dup pairs: vector 100k+1 ≈ vector 100k (cosine ~0.95)
+    ids = np.arange(start, start + n)
+    for j in np.flatnonzero((ids % 100 == 1) & (ids > 0)):
+        if j > 0:
+            v[j] = v[j - 1] + 0.1 * rng.standard_normal(EMB_DIM)
+            cl[j] = cl[j - 1]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    flat = v.astype(np.float32).ravel()
+    offsets = pa.array(np.arange(0, (n + 1) * EMB_DIM, EMB_DIM, dtype=np.int32))
+    return pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32())),
+        "label": pa.array((cl % 3).astype(np.int32)),
+    }, schema=EMB_SCHEMA)
+
+
+def generate_docs_embeddings(sf_name: str, out_dir: str) -> None:
+    sf = float(sf_name.removeprefix("sf"))
+    n_docs = max(int(round(DOC_ROWS_PER_SF * sf)), 500)
+    n_emb = max(int(round(EMB_ROWS_PER_SF * sf)), 500)
+    os.makedirs(out_dir, exist_ok=True)
+    with pq.ParquetWriter(os.path.join(out_dir, "documents.parquet"),
+                          DOC_SCHEMA, compression="zstd") as w:
+        start, ci = 0, 0
+        while start < n_docs:
+            n = min(DOC_CHUNK, n_docs - start)
+            w.write_table(_gen_doc_chunk(ci, start, n))
+            start += n
+            ci += 1
+    crng = np.random.default_rng([SEED, 7000])
+    centroids = crng.standard_normal((EMB_CLUSTERS, EMB_DIM))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    with pq.ParquetWriter(os.path.join(out_dir, "embeddings.parquet"),
+                          EMB_SCHEMA, compression="zstd") as w:
+        start, ci = 0, 0
+        while start < n_emb:
+            n = min(DOC_CHUNK, n_emb - start)
+            w.write_table(_gen_emb_chunk(ci, start, n, centroids))
+            start += n
+            ci += 1
+
+
+def ensure_doc_fixtures(sf_name: str, root: str | None = None) -> str:
+    """Idempotent documents/embeddings twins in the fixture scale dir
+    (separate marker — token fixtures may already exist there)."""
+    root = os.path.abspath(root or FIXTURE_ROOT)
+    final = os.path.join(root, sf_name)
+    marker = os.path.join(final, "_SUCCESS_DOCS")
+    if os.path.exists(marker):
+        return final
+    os.makedirs(final, exist_ok=True)
+    generate_docs_embeddings(sf_name, final)
+    open(marker, "w").close()
+    return final
+
+
 def sf_name_of_dir(sf_dir: str) -> str:
     """Map a driver-style testdata dir (/root/testdata/sf0.01) to a scale name."""
     base = os.path.basename(os.path.normpath(sf_dir))

@@ -70,8 +70,12 @@ def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
 def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
                           window: str = "1 hour", watermark: str = "2 hours",
                           ts_col: str = "ts") -> DataFrame:
-    """Watermarked tumbling-window aggregation over a file-source stream —
-    the late-data-tolerant streaming analog of a groupBy(window) batch agg.
+    """Tumbling-window aggregation over a file-source stream in COMPLETE
+    output mode: Spark retains all aggregation state and never drops late
+    rows, so the watermark here is inert and the final table equals the
+    batch group-by — which is exactly why the batch SQL oracle matches.
+    For real watermark semantics (state eviction, late-row drop) use
+    ``windowed_event_counts_append`` below.
     Runs availableNow to completion against a memory sink and returns the
     result as a DataFrame.
 
@@ -110,3 +114,52 @@ def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
     q.awaitTermination()
     return spark.sql(
         f"SELECT window_start, event_type, n, sum_value FROM {name}")
+
+
+def windowed_event_counts_append(spark: SparkSession, source_dir: str,
+                                 schema, window_secs: int = 3600,
+                                 watermark_secs: int = 5400,
+                                 ts_epoch_col: str = "ts_epoch") -> DataFrame:
+    """APPEND-mode watermarked tumbling windows — real eviction semantics.
+
+    Each micro-batch advances the global watermark to max(event time) −
+    delay.  Spark applies TWO watermark values per batch (SPARK-42376):
+    late INPUT rows are filtered against the previous trigger's watermark,
+    while emission/eviction uses the current one — so a window is emitted
+    (once) when the current watermark passes its end, late rows arriving in
+    that same batch still merge into it, and rows whose window end trails
+    the PREVIOUS watermark are dropped.  Windows still open when the stream
+    drains are emitted by the final no-data micro-batch only if the final
+    watermark passes them; h+ windows beyond it never appear.  All of this
+    is reproducible in closed form from (batch_id, ts) — the DuckDB oracle
+    re-derives the lagged watermark sequence and the exact drop/emit sets
+    (plans/pipeline_queries.py oracle_sql: streaming_late_data_drop).
+
+    Timezone safety: event time arrives as EPOCH SECONDS and leaves as
+    epoch seconds (window.start cast back to long).  cast(long→timestamp)
+    and window() both operate on instants, so no session-timezone rendering
+    ever touches the data — unlike NTZ wall-clock columns, this is exact
+    under ANY host/session zone with no config mutation.
+
+    → DataFrame(window_start_epoch long, event_type string, n long,
+    sum_value double): only FINALIZED windows.
+    """
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    agg = (stream
+           .withColumn("ts", F.col(ts_epoch_col).cast("timestamp"))
+           .withWatermark("ts", f"{watermark_secs} seconds")
+           .groupBy(F.window("ts", f"{window_secs} seconds").alias("w"),
+                    "event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    name = f"windowed_append_{abs(id(agg)) % 99999}"
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(f"""
+        SELECT CAST(w.start AS LONG) AS window_start_epoch, event_type,
+               n, sum_value FROM {name}""")

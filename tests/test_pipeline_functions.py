@@ -343,6 +343,31 @@ def test_near_dup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_near_dup_clusters_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 64-node chain (worst-case diameter for plain
+    min-label propagation, which needs 63 rounds) must converge in
+    ≤ ceil(log2(64)) + 1 = 7 rounds (verdict r2 #8)."""
+    from bloom_filter_spark.functions.dedup import near_dup_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in near_dup_clusters(chain, stats=stats).collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert stats["changed_rounds"] <= 7, stats
+
+
+def test_near_dup_clusters_warns_on_non_convergence(spark):
+    import warnings
+    from bloom_filter_spark.functions.dedup import near_dup_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        near_dup_clusters(chain, max_iters=2).collect()
+    assert any("still changing" in str(x.message) for x in w)
+
+
 def test_near_dup_clusters_on_real_pairs(spark, docs, exact_pairs):
     from bloom_filter_spark.functions.dedup import near_dup_clusters
     pairs = spark.createDataFrame(

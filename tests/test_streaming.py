@@ -58,6 +58,34 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_append_mode_late_data_drop(spark):
+    """Append-mode watermarked windows over the engineered 4-batch late
+    stream: the emitted set and every count must equal the closed-form
+    two-watermark model (lagged filter, current-wm eviction) that the
+    DuckDB oracle implements — real eviction semantics, not complete-mode
+    batch equivalence."""
+    import duckdb
+
+    from bloom_filter_spark.plans import pipeline_queries as pq
+    got = sorted(tuple(r) for r in
+                 pq.q_streaming_late_data_drop(spark, "/root/testdata/sf0.001")
+                 .collect())
+    want = sorted(duckdb.sql(
+        pq._late_drop_sql("/root/testdata/sf0.001")).fetchall())
+    assert got == want and len(got) == 12
+    t0 = pq._LATE_T0
+    emitted_windows = {ws for ws, *_ in got}
+    # h4/h5 hold data but stay open at drain — never emitted
+    assert emitted_windows == {t0, t0 + 3600, t0 + 7200, t0 + 10800}
+    per_window = {}
+    for ws, _, n, _ in got:
+        per_window[ws - t0] = per_window.get(ws - t0, 0) + n
+    # batch-3's 30 h0-rows and 20 h1-rows are hard-dropped (their windows
+    # trail the lagged filter watermark); batch-2's same-shaped rows merge
+    # into the eviction batch and ARE counted
+    assert per_window == {0: 170, 3600: 160, 7200: 170, 10800: 195}
+
+
 def test_stateful_running_source_sketches(spark, multi_file_tokens):
     from pyspark.sql import functions as F
 
