@@ -210,7 +210,17 @@ def _gen_doc_chunk(chunk_idx: int, start: int, n: int) -> pa.Table:
             continue
         ln = int(rng.integers(30, 121))
         idx = rng.choice(len(DOC_VOCAB), ln, p=zipf_w)
-        texts.append(" ".join(DOC_VOCAB[j] for j in idx))
+        words = [DOC_VOCAB[j] for j in idx]
+        # hapax-rich long tail (real corpora are; without it the 3-gram
+        # shingle space saturates and every shingle goes hot): ~25% of
+        # positions carry a word from a 10^6-id tail, so most shingles
+        # are near-unique and the inverted-index df distribution matches
+        # real text instead of an 80-word closed world
+        tail_pos = np.flatnonzero(rng.random(ln) < 0.25)
+        tail_ids = rng.integers(0, 1_000_000, tail_pos.size)
+        for p_, t_ in zip(tail_pos, tail_ids):
+            words[int(p_)] = f"w{int(t_)}"
+        texts.append(" ".join(words))
     langs = [DOC_LANGS[int(x)] for x in rng.choice(4, n, p=[0.6, 0.2, 0.12, 0.08])]
     srcs = [SOURCES[int(x)] for x in rng.choice(8, n, p=SOURCE_WEIGHTS)]
     return pa.table({

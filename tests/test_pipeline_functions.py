@@ -343,6 +343,36 @@ def test_near_dup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_doc_embedding_fixture_twins(tmp_path):
+    """The sf-scalable documents/embeddings twins are deterministic and
+    carry the planted workload structure the dedup/ANN operators need."""
+    import duckdb
+
+    from bloom_filter_spark.sources import fixtures as fx
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    fx.generate_docs_embeddings("sf0.01", str(a))
+    fx.generate_docs_embeddings("sf0.01", str(b))
+    for f in ("documents.parquet", "embeddings.parquet"):
+        assert (a / f).read_bytes() == (b / f).read_bytes()
+    n, dn = duckdb.sql(f"""
+        SELECT count(*), count(DISTINCT text)
+        FROM read_parquet('{a}/documents.parquet')""").fetchone()
+    assert n == 500 and dn < n  # planted exact duplicates exist
+    dim, nv = duckdb.sql(f"""
+        SELECT min(len(embedding)), count(*)
+        FROM read_parquet('{a}/embeddings.parquet')""").fetchone()
+    assert dim == fx.EMB_DIM and nv == 500
+    # planted near-dup embedding pairs sit above cosine 0.85
+    sims = duckdb.sql(f"""
+        SELECT a.vec_id, list_dot_product(a.embedding, b.embedding)
+        FROM read_parquet('{a}/embeddings.parquet') a
+        JOIN read_parquet('{a}/embeddings.parquet') b
+          ON b.vec_id = a.vec_id + 1 AND a.vec_id % 100 = 0
+          AND a.vec_id > 0""").fetchall()
+    assert sims and all(s > 0.85 for _, s in sims)
+
+
 def test_near_dup_clusters_chain_converges_logarithmically(spark):
     """Pointer doubling: a 64-node chain (worst-case diameter for plain
     min-label propagation, which needs 63 rounds) must converge in

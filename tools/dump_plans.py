@@ -52,6 +52,24 @@ def main() -> None:
         "Exchange, final above: the shuffle carries distinct keys, not the "
         "token stream.")
 
+    from bloom_filter_spark.operators import build_grouped
+    from bloom_filter_spark.sketches import HLLParams, HLLSketch
+    add("Grouped build — map-side strategy (default)",
+        build_grouped(toks, HLLSketch(HLLParams(b=12)), "source", "tokens"),
+        "Phase 1 is MapInArrow directly on the scan — **no Exchange below "
+        "it**: the token data never shuffles; the only Exchange in the plan "
+        "carries the P × G small state rows into the per-group merge. "
+        "Shuffle volume is input-size-independent; skew-immune because "
+        "tasks are input splits, not group buckets.")
+
+    add("Grouped build — salted strategy (huge group domains)",
+        build_grouped(toks, HLLSketch(HLLParams(b=12)), "source", "tokens",
+                      n_salts=16, salt_on="doc_id", strategy="salted"),
+        "Explicit `repartition(group, salt)` below phase 1 caps any one "
+        "task at group/n_salts rows (north-rule skew defense) at the price "
+        "of one full-data Exchange — the right trade only when G × |state| "
+        "can't sit in a single task's memory.")
+
     add("Dimension join (top customer per nation)",
         relational.top_customer_per_nation(spark, "/root/testdata/sf0.001"),
         "Both dimension joins are BroadcastHashJoin — no sort-merge shuffle "
@@ -61,7 +79,7 @@ def main() -> None:
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
 
     add("Inverted-index n-gram Jaccard (df-capped)",
-        dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000),
         "Self-equi-join on the shingle key after the hot-shingle df-cap "
         "(left_anti against shingles with df > cap): only docs sharing a "
         "non-hot shingle ever pair; no O(n²) cross join anywhere.")
