@@ -262,11 +262,14 @@ def _gather_u64(mat: np.ndarray, off: np.ndarray) -> np.ndarray:
         axis=1, dtype=U64)
 
 
-def _mix16b(mat: np.ndarray, sub: np.ndarray, off: np.ndarray,
+def _mix16b(rows: np.ndarray, off: np.ndarray,
             soff: int, seed: int) -> np.ndarray:
-    """XXH3_mix16B: fold64( (in[0:8]^(sec+seed)) * (in[8:16]^(sec-seed)) )."""
-    lo = _gather_u64(mat[sub], off) ^ U64((_r64(soff) + seed) & _M64)
-    hi = _gather_u64(mat[sub], off + 8) ^ U64((_r64(soff + 8) - seed) & _M64)
+    """XXH3_mix16B: fold64( (in[0:8]^(sec+seed)) * (in[8:16]^(sec-seed)) ).
+    ``rows`` is the length-class submatrix, hoisted ONCE by the caller —
+    fancy-indexing the full key matrix per ladder step would re-copy it
+    up to ~30× per batch."""
+    lo = _gather_u64(rows, off) ^ U64((_r64(soff) + seed) & _M64)
+    hi = _gather_u64(rows, off + 8) ^ U64((_r64(soff + 8) - seed) & _M64)
     return _mul128_fold64(lo, hi)
 
 
@@ -354,6 +357,7 @@ def xxh3_64_bytes(values, seed: int = 0,
     m17 = (lengths >= 17) & (lengths <= 128)
     if m17.any():
         sub = np.flatnonzero(m17)
+        rows = mat[sub]  # hoisted once for the whole ladder
         ln = lengths[sub]
         zero = np.zeros(len(sub), np.intp)
         with np.errstate(over="ignore"):
@@ -363,28 +367,29 @@ def xxh3_64_bytes(values, seed: int = 0,
             gt96 = ln > 96
             if gt96.any():
                 g = np.flatnonzero(gt96)
-                acc[g] += _mix16b(mat, sub[g], zero[g] + 48, 96, seed)
-                acc[g] += _mix16b(mat, sub[g], ln[g] - 64, 112, seed)
+                acc[g] += _mix16b(rows[g], zero[g] + 48, 96, seed)
+                acc[g] += _mix16b(rows[g], ln[g] - 64, 112, seed)
             if gt64.any():
                 g = np.flatnonzero(gt64)
-                acc[g] += _mix16b(mat, sub[g], zero[g] + 32, 64, seed)
-                acc[g] += _mix16b(mat, sub[g], ln[g] - 48, 80, seed)
+                acc[g] += _mix16b(rows[g], zero[g] + 32, 64, seed)
+                acc[g] += _mix16b(rows[g], ln[g] - 48, 80, seed)
             if gt32.any():
                 g = np.flatnonzero(gt32)
-                acc[g] += _mix16b(mat, sub[g], zero[g] + 16, 32, seed)
-                acc[g] += _mix16b(mat, sub[g], ln[g] - 32, 48, seed)
-            acc += _mix16b(mat, sub, zero, 0, seed)
-            acc += _mix16b(mat, sub, ln - 16, 16, seed)
+                acc[g] += _mix16b(rows[g], zero[g] + 16, 32, seed)
+                acc[g] += _mix16b(rows[g], ln[g] - 32, 48, seed)
+            acc += _mix16b(rows, zero, 0, seed)
+            acc += _mix16b(rows, ln - 16, 16, seed)
         out[sub] = _xxh3_avalanche(acc)
 
     m129 = (lengths >= 129) & (lengths <= 240)
     if m129.any():
         sub = np.flatnonzero(m129)
+        rows = mat[sub]
         ln = lengths[sub]
         with np.errstate(over="ignore"):
             acc = ln.astype(U64) * _PRIME64_1
             for i in range(8):
-                acc += _mix16b(mat, sub, np.full(len(sub), 16 * i, np.intp),
+                acc += _mix16b(rows, np.full(len(sub), 16 * i, np.intp),
                                16 * i, seed)
             acc = _xxh3_avalanche(acc)
             nrounds = ln // 16  # 8..15
@@ -392,11 +397,11 @@ def xxh3_64_bytes(values, seed: int = 0,
                 g = np.flatnonzero(nrounds > i)
                 if g.size:
                     # MIDSIZE_STARTOFFSET = 3
-                    acc[g] += _mix16b(mat, sub[g],
+                    acc[g] += _mix16b(rows[g],
                                       np.full(g.size, 16 * i, np.intp),
                                       16 * (i - 8) + 3, seed)
             # last 16 bytes, secret offset SECRET_SIZE_MIN-MIDSIZE_LASTOFFSET
-            acc += _mix16b(mat, sub, ln - 16, 136 - 17, seed)
+            acc += _mix16b(rows, ln - 16, 136 - 17, seed)
         out[sub] = _xxh3_avalanche(acc)
 
     m241 = lengths > 240
@@ -417,13 +422,13 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
     return int(xxh3_64_bytes([data], seed)[0])
 
 
-def _mix32b(accl, acch, mat, sub, off1, off2, soff: int, seed: int):
-    """XXH128_mix32B over per-row offset vectors off1/off2."""
-    rows = mat[sub]
+def _mix32b(accl, acch, rows, off1, off2, soff: int, seed: int):
+    """XXH128_mix32B over per-row offset vectors off1/off2 (``rows`` is the
+    caller-hoisted length-class submatrix)."""
     with np.errstate(over="ignore"):
-        accl = accl + _mix16b(mat, sub, off1, soff, seed)
+        accl = accl + _mix16b(rows, off1, soff, seed)
         accl = accl ^ (_gather_u64(rows, off2) + _gather_u64(rows, off2 + 8))
-        acch = acch + _mix16b(mat, sub, off2, soff + 16, seed)
+        acch = acch + _mix16b(rows, off2, soff + 16, seed)
         acch = acch ^ (_gather_u64(rows, off1) + _gather_u64(rows, off1 + 8))
     return accl, acch
 
@@ -530,6 +535,7 @@ def xxh3_128_bytes(values, seed: int = 0,
     m17 = (lengths >= 17) & (lengths <= 128)
     if m17.any():
         sub = np.flatnonzero(m17)
+        rows = mat[sub]
         ln = lengths[sub]
         with np.errstate(over="ignore"):
             accl = ln.astype(U64) * _PRIME64_1
@@ -541,7 +547,7 @@ def xxh3_128_bytes(values, seed: int = 0,
                 continue
             in1 = np.full(g.size, 16 * i, np.intp)
             in2 = ln[g] - 16 * (i + 1)
-            al, ah = _mix32b(accl[g], acch[g], mat, sub[g], in1, in2,
+            al, ah = _mix32b(accl[g], acch[g], rows[g], in1, in2,
                              32 * i, seed)
             accl[g], acch[g] = al, ah
         out_lo[sub], out_hi[sub] = _final_midsize(accl, acch, ln)
@@ -549,13 +555,14 @@ def xxh3_128_bytes(values, seed: int = 0,
     m129 = (lengths >= 129) & (lengths <= 240)
     if m129.any():
         sub = np.flatnonzero(m129)
+        rows = mat[sub]
         ln = lengths[sub]
         with np.errstate(over="ignore"):
             accl = ln.astype(U64) * _PRIME64_1
         acch = np.zeros(len(sub), U64)
         for i in range(4):
             in1 = np.full(len(sub), 32 * i, np.intp)
-            accl, acch = _mix32b(accl, acch, mat, sub, in1, in1 + 16,
+            accl, acch = _mix32b(accl, acch, rows, in1, in1 + 16,
                                  32 * i, seed)
         accl = _xxh3_avalanche(accl)
         acch = _xxh3_avalanche(acch)
@@ -566,12 +573,12 @@ def xxh3_128_bytes(values, seed: int = 0,
                 continue
             in1 = np.full(g.size, 32 * i, np.intp)
             # MIDSIZE_STARTOFFSET = 3
-            al, ah = _mix32b(accl[g], acch[g], mat, sub[g], in1, in1 + 16,
+            al, ah = _mix32b(accl[g], acch[g], rows[g], in1, in1 + 16,
                              3 + 32 * (i - 4), seed)
             accl[g], acch[g] = al, ah
         # last 32 bytes, swapped operands, negated seed, secret offset
         # SECRET_SIZE_MIN - MIDSIZE_LASTOFFSET - 16 = 103
-        accl, acch = _mix32b(accl, acch, mat, sub, ln - 16, ln - 32,
+        accl, acch = _mix32b(accl, acch, rows, ln - 16, ln - 32,
                              103, (-seed) & _M64)
         out_lo[sub], out_hi[sub] = _final_midsize(accl, acch, ln)
 

@@ -220,6 +220,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return _verify_pairs_exact_jaccard(cand, sh, threshold)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint's materialized blocks immediately.
+
+    ``df.rdd.unpersist()`` is a NO-OP here — it unpersists the derived
+    javaToPython RDD, not the checkpoint-materialized internal one (checked
+    empirically: getRDDStorageInfo still lists the blocks).  The real RDD
+    hangs off the LogicalRDD plan node; without this, every propagation
+    round's label table stays in executor storage until driver GC runs the
+    ContextCleaner, and at corpus scale the accumulation can evict LIVE
+    checkpoint blocks (unrecoverable 'Checkpoint block not found')."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # private plan shape changed — blocks fall back to GC cleanup
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
                       id_b: str = "doc_b", max_iters: int = 20,
                       stats: dict | None = None) -> DataFrame:
@@ -277,7 +293,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                        .where(F.col("n.label") != F.col("o.label")).count())
-            labels.rdd.unpersist(False)  # free the previous round's blocks
+            _free_local_checkpoint(labels)  # previous round's blocks
             labels = new_labels
             if changed == 0:
                 break
@@ -296,7 +312,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
         out = labels.select(F.col("node").alias("doc_id"),
                             F.col("label").alias("cluster_id")).localCheckpoint()
     finally:
-        labels.rdd.unpersist(False)
+        _free_local_checkpoint(labels)
         edges.unpersist()
     return out
 

@@ -239,14 +239,20 @@ def _late_events_stream_dir(sf_dir: str) -> str:
     open at drain (never emitted).  File mtimes increase with batch id so
     the file source replays them in order."""
     from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
-    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
-                       "late_events_stream")
+    base_dir = os.path.join(os.path.abspath(FIXTURE_ROOT),
+                            sf_name_of_dir(sf_dir))
+    out = os.path.join(base_dir, "late_events_stream")
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
+        import tempfile
+
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(base_dir, exist_ok=True)
+        # build in a scratch dir, rename into place (atomic; mtimes — the
+        # file-source replay order — survive the rename)
+        tmp = tempfile.mkdtemp(prefix=".late_events_", dir=base_dir)
         rng = np.random.default_rng(4242)
         types = np.array(["view", "click", "buy"])
         # batch -> ([(hour, n_rows)...], (sentinel_hour, sentinel_offset)).
@@ -280,11 +286,18 @@ def _late_events_stream_dir(sf_dir: str) -> str:
                 "event_type": pa.array(types[rng.integers(0, 3, n_rows)]),
                 "value": pa.array(rng.integers(0, 10000, n_rows) / 1000.0),
             })
-            path = os.path.join(out, f"part-{b}.parquet")
+            path = os.path.join(tmp, f"part-{b}.parquet")
             pq.write_table(tbl, path)
             base = 1_700_000_000
             os.utime(path, (base + 10 * b, base + 10 * b))
-        open(marker, "w").close()
+        open(os.path.join(tmp, "_complete"), "w").close()
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.exists(marker):  # genuine failure, not a race
+                raise
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

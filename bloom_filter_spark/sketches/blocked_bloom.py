@@ -39,7 +39,7 @@ class BlockedBloomParams:
     n: int
     p: float
     seed: int = hashing.DEFAULT_SEED
-    hash_family: str = "splitmix"  # "xxh3" = reference Hash128 bit-parity
+    hash_family: str = "splitmix64"  # "xxh3" = reference Hash128 bit-parity
     m: int = field(init=False)
     n_blocks: int = field(init=False)
     n_words: int = field(init=False)
@@ -48,6 +48,11 @@ class BlockedBloomParams:
     def __post_init__(self):
         if self.n <= 0 or not (0.0 < self.p < 1.0):
             raise ValueError(f"invalid params n={self.n} p={self.p}")
+        if self.hash_family not in ("splitmix64", "xxh3"):
+            # a typo here would silently build a non-parity filter that
+            # answers garbage against Go-built word arrays (bloom.py:59
+            # guards the same mistake)
+            raise ValueError(f"unknown hash_family {self.hash_family!r}")
         m_pre = math.ceil(-self.n * math.log(self.p) / (_LN2 * _LN2))
         m = max(hashing.next_power_of_two(m_pre), BLOCK_BITS)
         object.__setattr__(self, "m", m)
@@ -132,7 +137,9 @@ class BlockedBloomSketch:
         return pack_u32(p.m) + pack_u32(K) + pack_u64(p.seed) + state.astype("<u8").tobytes()
 
     @classmethod
-    def deserialize(cls, blob: bytes, hash_family: str = "splitmix"):
+    def deserialize(cls, blob: bytes, hash_family: str = "splitmix64"):
+        if hash_family not in ("splitmix64", "xxh3"):
+            raise ValueError(f"unknown hash_family {hash_family!r}")
         r = Reader(blob)
         m = r.u32()
         _k = r.u32()

@@ -281,15 +281,26 @@ def generate_docs_embeddings(sf_name: str, out_dir: str) -> None:
 
 def ensure_doc_fixtures(sf_name: str, root: str | None = None) -> str:
     """Idempotent documents/embeddings twins in the fixture scale dir
-    (separate marker — token fixtures may already exist there)."""
+    (separate marker — token fixtures may already exist there).
+
+    Race-safe like ensure_fixtures: generation happens in a scratch dir and
+    each parquet lands via atomic os.replace, so a concurrent writer can
+    never leave a half-written file behind a present marker (content is
+    deterministic, so last-replace-wins is byte-identical)."""
     root = os.path.abspath(root or FIXTURE_ROOT)
     final = os.path.join(root, sf_name)
     marker = os.path.join(final, "_SUCCESS_DOCS")
     if os.path.exists(marker):
         return final
     os.makedirs(final, exist_ok=True)
-    generate_docs_embeddings(sf_name, final)
-    open(marker, "w").close()
+    tmp = tempfile.mkdtemp(prefix=f".{sf_name}_docs_", dir=root)
+    try:
+        generate_docs_embeddings(sf_name, tmp)
+        for f in ("documents.parquet", "embeddings.parquet"):
+            os.replace(os.path.join(tmp, f), os.path.join(final, f))
+        open(marker, "w").close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return final
 
 
