@@ -99,3 +99,33 @@ def test_repartition_by_quantiles_range_partitioned(spark, sf_small):
     out = repartition_by_quantiles(flat, "t", 8)
     sizes = [s for s in out.rdd.glom().map(len).collect() if s > 0]
     assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+
+
+def test_blocked_bloom_rejects_unknown_hash_family():
+    import pytest
+
+    from bloom_filter_spark.sketches import BlockedBloomParams, BlockedBloomSketch
+    with pytest.raises(ValueError, match="hash_family"):
+        BlockedBloomParams(n=1000, p=0.01, hash_family="xxh128")
+    sk = BlockedBloomSketch(BlockedBloomParams(n=1000, p=0.01,
+                                               hash_family="xxh3"))
+    blob = sk.serialize(sk.empty())
+    with pytest.raises(ValueError, match="hash_family"):
+        BlockedBloomSketch.deserialize(blob, hash_family="xxh3_128")
+
+
+def test_near_dup_clusters_releases_checkpoint_blocks(spark):
+    """r3 review: df.rdd.unpersist() was a no-op for localCheckpointed
+    frames — per-round label tables accumulated in executor storage.  After
+    the run, at most the returned table's own blocks may remain."""
+    from bloom_filter_spark.functions.dedup import near_dup_clusters
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    out = near_dup_clusters(pairs)
+    out.count()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # rounds ran (>=6 for a 41-chain with doubling) yet storage grew by at
+    # most the single returned localCheckpoint
+    assert after - before <= 1, (before, after)
