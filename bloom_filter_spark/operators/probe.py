@@ -22,28 +22,36 @@ from ..sketches.base import sketch_for_kind
 _CACHE: dict[tuple, tuple] = {}
 
 
-def _cache_key(blob: bytes, kind: str) -> tuple:
+def _cache_key(blob: bytes, kind: str, dkw: dict | None = None) -> tuple:
     # computed ONCE driver-side at UDF creation; stable across executors.
     # cryptographic digest — same-kind sketches with identical params always
     # have identical length, so a weak checksum would be the sole
-    # discriminator and a 32-bit collision would silently probe wrong state
-    return (kind, len(blob), hashlib.sha1(blob).hexdigest())
+    # discriminator and a 32-bit collision would silently probe wrong state.
+    # deserialize kwargs (e.g. hash_family) are part of the identity: the
+    # same blob probed under two families is two different probers.
+    return (kind, len(blob), hashlib.sha1(blob).hexdigest(),
+            tuple(sorted((dkw or {}).items())))
 
 
 def _get(bc, key: tuple):
     hit = _CACHE.get(key)
     if hit is None:
-        hit = sketch_for_kind(key[0]).deserialize(bytes(bc.value))
+        hit = sketch_for_kind(key[0]).deserialize(bytes(bc.value),
+                                                  **dict(key[3]))
         if len(_CACHE) > 64:  # bound executor memory across many probes
             _CACHE.clear()
         _CACHE[key] = hit
     return hit
 
 
-def membership_udf(spark: SparkSession, blob: bytes, kind: str, key_kind: str = "i32"):
-    """→ pandas_udf(BooleanType): does the sketch contain each key?"""
+def membership_udf(spark: SparkSession, blob: bytes, kind: str,
+                   key_kind: str = "i32",
+                   deserialize_kwargs: dict | None = None):
+    """→ pandas_udf(BooleanType): does the sketch contain each key?
+    ``deserialize_kwargs`` forwards serde options the blob layout does not
+    carry (e.g. hash_family='xxh3' for Go-parity blobs)."""
     bc = spark.sparkContext.broadcast(blob)
-    key = _cache_key(blob, kind)
+    key = _cache_key(blob, kind, deserialize_kwargs)
 
     def _masked(s: pd.Series, fn) -> pd.Series:
         # NULL keys are never members (they were never inserted); don't

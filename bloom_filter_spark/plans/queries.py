@@ -67,6 +67,12 @@ def _blob(spark, sf_dir, kind: str):
         n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
         out = build_sketch(toks, BloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P)),
                            "doc_id", "str")
+    elif kind == "blocked_docs_xxh3":
+        n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
+        out = build_sketch(
+            toks, BlockedBloomSketch(BlockedBloomParams(
+                n=n_docs, p=DOC_BLOOM_P, hash_family="xxh3")),
+            "doc_id", "str")
     elif kind == "hll_tokens":
         out = build_sketch(toks, HLLSketch(HLLParams(b=HLL_B)), "tokens", "i32_array")
     elif kind == "cms_tokens":
@@ -126,6 +132,20 @@ def q_blocked_bloom_membership(spark, sf_dir):
     probe = membership_udf(spark, blob, "blocked_bloom", "i32")
     present = spark.read.parquet(f"{_fx(sf_dir)}/probes_present.parquet")
     return present.select("token", probe("token").alias("member")).distinct()
+
+
+def q_blocked_bloom_xxh3_doc_membership(spark, sf_dir):
+    """Blocked-bloom with the reference's exact Hash128 bit placement
+    (hash_family='xxh3', /root/reference/filter/blocked-bloom/filter.go:
+    40-52), built over STRING doc ids and probed back through the engine
+    serde — puts the XXH3-128 parity path and the blocked-bloom serde
+    (round 2's one pytest-only §2 row) under the driver's oracle gate.
+    Every inserted doc_id must probe true (bloom-type: zero FN)."""
+    blob, _ = _blob(spark, sf_dir, "blocked_docs_xxh3")
+    probe = membership_udf(spark, blob, "blocked_bloom", "str",
+                           deserialize_kwargs={"hash_family": "xxh3"})
+    docs = _tokens(spark, sf_dir).select("doc_id")
+    return docs.select("doc_id", probe("doc_id").alias("member"))
 
 
 # (sf name, context id) → broadcast handle of the {source: blob} map (one
@@ -537,6 +557,7 @@ SKETCH_QUERIES = {
     "bloom_membership_fpr": q_bloom_membership_fpr,
     "bloom_doc_membership": q_bloom_doc_membership,
     "blocked_bloom_membership": q_blocked_bloom_membership,
+    "blocked_bloom_xxh3_doc_membership": q_blocked_bloom_xxh3_doc_membership,
     "cuckoo_doc_membership": q_cuckoo_doc_membership,
     "cuckoo_delete_probe": q_cuckoo_delete_probe,
     "hll_distinct_tokens": q_hll_distinct_tokens,
@@ -574,6 +595,8 @@ def sketch_oracles() -> dict[str, str]:
             SELECT DISTINCT token, TRUE AS member
             FROM read_parquet('{fx}/probes_present.parquet')
         """,
+        "blocked_bloom_xxh3_doc_membership":
+            f"SELECT doc_id, TRUE AS member FROM {tok}",
         "cuckoo_doc_membership":
             f"SELECT doc_id, TRUE AS member FROM {tok}",
         "cuckoo_delete_probe": f"""
