@@ -353,6 +353,26 @@ def _late_drop_sql(sf_dir_abs: str = "/root/testdata/sf0.01") -> str:
     """
 
 
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom-prefiltered dimension join must EQUAL the plain join: the
+    broadcast Bloom drops most non-matching probe rows before the shuffle
+    (zero FN ⇒ no matching row lost; FPs are removed by the join itself),
+    so the rolled-up result is exactly SQL-reproducible.  This is the
+    sketch engine applied to join pruning — the runtime-filter pattern a
+    100-TB star join lives on."""
+    from ..functions.joins import bloom_prefilter_join
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    high = orders.where(F.col("o_totalprice") > 150000).select("o_orderkey")
+    joined, _stats = bloom_prefilter_join(li, high, "l_orderkey",
+                                          "o_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+            .select("l_returnflag", "n_items", "sum_qty", "sum_price"))
+
+
 # ---------------------------------------------------------------- relational
 def q_tpch_q1(spark, sf_dir):
     return relational.tpch_q1(spark, sf_dir)
@@ -396,6 +416,7 @@ PIPELINE_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_late_data_drop": q_streaming_late_data_drop,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
@@ -666,6 +687,16 @@ def pipeline_oracles() -> dict[str, str]:
                    greatest(CAST(floor(n_bytes / fake_width) AS INTEGER), 1)
                        AS fake_height
             FROM w
+        """,
+        "bloom_prefilter_join": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem
+            JOIN (SELECT o_orderkey FROM orders
+                  WHERE o_totalprice > 150000) o
+              ON lineitem.l_orderkey = o.o_orderkey
+            GROUP BY l_returnflag
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
