@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import hashing
+from .common import spread as _spread
 
 NGRAM = 3
 
@@ -106,6 +107,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingles, overwhelmingly non-hot ones.  df_cap=None disables capping
     (unconditionally exact).
     """
+    df = _spread(df)
     sh = _shingles(df, text_col, n).cache()
     sh_cand = sh
     cand_extra = None
@@ -140,11 +142,15 @@ def _id_type(df: DataFrame) -> str:
 
 def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
                         seed: int) -> DataFrame:
-    """(doc_id, sig array<bigint>) — vectorized: one shingle-hash per doc-gram
-    row, then n_perm affine re-hashes folded with segmented minimum.
+    """(doc_id, sig array<bigint>) — vectorized: shingles are hashed to
+    int64 JVM-SIDE (xxhash64 inside whole-stage codegen — the variable-
+    length UTF-8 → Python-object hashing that round 2 documented as
+    minhash's CPU ceiling never reaches Python), then n_perm affine
+    re-hashes fold with a segmented minimum per doc.
     doc_id keeps its native type so pair ordering matches exact-Jaccard's."""
     id_type = _id_type(df)
-    sh = _shingles(df, text_col, n)
+    sh = _shingles(df, text_col, n).select(
+        "doc_id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
     n_perm_b = n_perm
 
     def sigs(batches):
@@ -156,7 +162,7 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
             if not batch.num_rows:
                 continue
             ids = batch.column(0)
-            h = hashing.hash64_str(np.asarray(batch.column(1).to_pylist()), seed)
+            h = batch.column(1).to_numpy(zero_copy_only=False).view(np.uint64)
             with np.errstate(over="ignore"):
                 m = (h[:, None] * a[None, :] + b[None, :])  # (rows, n_perm)
             # a doc's shingles are contiguous (explode preserves row order),
@@ -173,7 +179,7 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
                 names=["doc_id", "sig"])
 
     schema = f"doc_id {id_type}, sig array<bigint>"
-    partial = sh.select("doc_id", "shingle").mapInArrow(sigs, schema)
+    partial = sh.mapInArrow(sigs, schema)
 
     # final min across partitions (a doc's shingles may span partitions)
     def merge_sigs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -194,6 +200,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     so recall at the threshold is effectively exact while only bucket
     collisions are ever verified (the 100 TB path: no all-pairs join).
     """
+    df = _spread(df)
     rows = n_perm // bands
     sig = _minhash_signatures(df, text_col, n_perm, n, seed)
     bands_df = sig.select(
@@ -367,6 +374,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
         raise ValueError(
             f"recall is not exact for max_hamming={max_hamming} with "
             f"{n_bands} bands at probe_radius={probe_radius}; raise one of them")
+    df = _spread(df)
     id_type = _id_type(df)
 
     def sim(it):

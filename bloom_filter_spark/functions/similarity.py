@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core import hashing
+from .common import spread as _spread
 
 
 def _cosine(a, b):
@@ -93,7 +94,8 @@ def hyperplane_signatures(emb: DataFrame, n_bits: int = 16,
                 axis=1, dtype=np.uint64)
             yield pd.DataFrame({"id": pdf[id_col], "bucket": sig.astype(np.int64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(sign, f"id {id_type}, bucket bigint")
+    return _spread(emb.select(id_col, vec_col)).mapInPandas(
+        sign, f"id {id_type}, bucket bigint")
 
 
 def hyperplane_buckets(emb: DataFrame, n_bits: int, n_tables: int,
@@ -129,7 +131,7 @@ def hyperplane_buckets(emb: DataFrame, n_bits: int, n_tables: int,
                 "bucket": sig.reshape(-1),
             })
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col)).mapInPandas(
         sign, f"id {id_type}, table int, bucket bigint")
 
 
@@ -220,7 +222,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
                                 "list_id": (mat @ cents.T).argmax(axis=1)
                                 .astype(np.int32)})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col)).mapInPandas(
         assign, f"id {id_type}, list_id int")
 
 
