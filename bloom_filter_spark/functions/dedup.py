@@ -79,6 +79,19 @@ def _verify_pairs_exact_jaccard(cand: DataFrame, sh: DataFrame,
             .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
 
 
+def _jaccard_from_counts(occ: DataFrame, sizes: DataFrame,
+                         threshold: float) -> DataFrame:
+    """(doc_a, doc_b, i=|A∩B|) + per-doc sizes → thresholded jaccard rows,
+    mirroring _verify_pairs_exact_jaccard's filter-then-round order."""
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    return (occ.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jacc_raw",
+                        F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")))
+            .where(F.col("jacc_raw") >= threshold)
+            .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5, n: int = NGRAM,
                         df_cap: int | None = None) -> DataFrame:
@@ -89,50 +102,73 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     with no opt-in); SCALE callers must pass a cap — the driver query and
     every 100-TB-shaped path use df_cap=1000.
 
-    Inverted-index plan: explode shingles once, generate candidate pairs by
-    self-equi-join on shingle (only co-occurring docs pair up), then verify
-    candidates with exact Jaccard over the FULL shingle table.
+    Inverted-index plan: explode shingles once, self-equi-join on shingle —
+    and the SAME join that discovers a pair also COUNTS its shared
+    shingles, so |A∩B| comes straight from groupBy(pair).count() with no
+    second pass (the previous verify join re-walked every candidate's full
+    shingle list: Σ|shingles(doc_a)| × join — the superlinear term that
+    dominated sf1).
 
     ``df_cap`` drops shingles whose document frequency exceeds the cap from
-    the CANDIDATE join only (verification still counts them): one viral
-    boilerplate sentence shared by 1% of a 10^9-doc corpus would otherwise
-    pair quadratically on that single join key.  EXACT-duplicate documents
-    are immune to the cap: a content-hash candidate source catches them
-    even when every one of their shingles is hot (a corpus with >df_cap
-    identical copies of one doc would otherwise lose all its pairs).
-    Results are therefore identical to the uncapped join whenever every
-    qualifying NON-identical pair shares ≥1 non-hot shingle — guaranteed
-    when df_cap exceeds the corpus' max shingle df (always true for the
-    driver fixtures); at production scale a τ-similar pair shares many
-    shingles, overwhelmingly non-hot ones.  df_cap=None disables capping
-    (unconditionally exact).
+    the DISCOVERY join only: one viral boilerplate sentence shared by 1 %
+    of a 10^9-doc corpus would otherwise pair quadratically on that single
+    join key.  Exactness is restored in two bounded steps: (a) hot shared
+    shingles of every discovered pair are re-counted by a pair×hot-shingle
+    join (output-bound: pairs × the few >cap shingles per doc — empty
+    whenever the cap never binds), and (b) EXACT-duplicate documents pair
+    via a content-hash source even when every one of their shingles is
+    hot.  Results equal the uncapped join whenever every qualifying
+    NON-identical pair shares ≥1 non-hot shingle — guaranteed when df_cap
+    exceeds the corpus' max shingle df; at production scale a τ-similar
+    pair shares many shingles, overwhelmingly non-hot ones.
     """
     df = _spread(df)
     sh = _shingles(df, text_col, n).cache()
-    sh_cand = sh
-    cand_extra = None
-    if df_cap is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-               .where(F.col("df") > df_cap).select("shingle"))
-        sh_cand = sh.join(hot, "shingle", "left_anti")
-        # exact duplicates pair via content hash, cap-proof (their pair
-        # count is part of the true output, so this join is output-bound)
-        hashed = df.select("doc_id", F.md5(F.col(text_col)).alias("h"))
-        cand_extra = (hashed.alias("a")
-                      .join(hashed.alias("b"),
-                            (F.col("a.h") == F.col("b.h"))
-                            & (F.col("a.doc_id") < F.col("b.doc_id")))
-                      .select(F.col("a.doc_id").alias("doc_a"),
-                              F.col("b.doc_id").alias("doc_b")))
-    a = sh_cand.alias("a")
-    b = sh_cand.alias("b")
-    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")))
-    if cand_extra is not None:
-        cand = cand.unionByName(cand_extra)
-    return _verify_pairs_exact_jaccard(cand.distinct(), sh, threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    def pair_counts(sh_src: DataFrame, cnt_name: str) -> DataFrame:
+        return (sh_src.alias("a")
+                .join(sh_src.alias("b"),
+                      (F.col("a.shingle") == F.col("b.shingle"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .groupBy(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                .agg(F.count("*").alias(cnt_name)))
+
+    if df_cap is None:
+        return _jaccard_from_counts(pair_counts(sh, "i"), sizes, threshold)
+
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = dfs.where(F.col("df") > df_cap).select("shingle")
+    sh_cold = sh.join(hot, "shingle", "left_anti")
+    occ_cold = pair_counts(sh_cold, "i_cold")
+    # exact duplicates pair via content hash, cap-proof (their pair count
+    # is part of the true output, so this join is output-bound)
+    hashed = df.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+    md5_pairs = (hashed.alias("a")
+                 .join(hashed.alias("b"),
+                       (F.col("a.h") == F.col("b.h"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b")))
+    pairs = (occ_cold.select("doc_a", "doc_b")
+             .unionByName(md5_pairs).distinct())
+    # hot-shingle correction: count shared HOT shingles per discovered pair
+    hot_sh = sh.join(hot, "shingle")
+    ha = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_sh.select(F.col("doc_id").alias("b_id"),
+                       F.col("shingle").alias("sh_b"))
+    occ_hot = (pairs.join(ha, "doc_a")
+               .join(hb, (F.col("shingle") == F.col("sh_b"))
+                     & (F.col("doc_b") == F.col("b_id")))
+               .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i_hot")))
+    occ = (pairs
+           .join(occ_cold, ["doc_a", "doc_b"], "left")
+           .join(occ_hot, ["doc_a", "doc_b"], "left")
+           .select("doc_a", "doc_b",
+                   (F.coalesce(F.col("i_cold"), F.lit(0))
+                    + F.coalesce(F.col("i_hot"), F.lit(0))).alias("i")))
+    return _jaccard_from_counts(occ, sizes, threshold)
 
 
 # ---------------------------------------------------------------- MinHash LSH
