@@ -95,12 +95,11 @@ def main() -> None:
             "retention was 0.96)")
         out["notes"] = {
             "dedup_ngram_jaccard_capped": (
-                "sub-linear retention is inherent to exact inverted-index "
-                "verification: candidate mass grows with sum(df^2) even "
-                "under the per-shingle df-cap, i.e. superlinear in corpus "
-                "size.  This is the documented reason minhash-LSH is the "
-                "100-TB near-dup path; ngram-jaccard is the small-scale "
-                "exact oracle."),
+                "retention >= 1 after r3's discovery-join counting (the "
+                "former verify pass re-walked every candidate's full "
+                "shingle list - the superlinear term).  Candidate-pair "
+                "mass still grows with sum(df^2), bounded by the df-cap; "
+                "minhash-LSH remains the preferred 100-TB near-dup path."),
             "retention_gt_1": (
                 "values > 1.0 mean per-unit throughput IMPROVED at 10x "
                 "rows - at sf0.1's 5k docs / 2k vectors, per-query fixed "
