@@ -185,8 +185,14 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
     re-hashes fold with a segmented minimum per doc.
     doc_id keeps its native type so pair ordering matches exact-Jaccard's."""
     id_type = _id_type(df)
-    sh = _shingles(df, text_col, n).select(
-        "doc_id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
+    sh = (_shingles(df, text_col, n)
+          .select("doc_id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
+          # co-locate AND order each doc's shingle hashes: with every doc
+          # contiguous inside one partition, the kernel below emits the
+          # FINAL signature row per doc — no per-doc groupBy/applyInPandas
+          # merge stage (50k pandas groups dominated the sf1 profile) and
+          # no second shuffle of the signature table
+          .repartition("doc_id").sortWithinPartitions("doc_id"))
     n_perm_b = n_perm
 
     def sigs(batches):
@@ -194,36 +200,58 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
         rng = np.random.default_rng(seed)
         a = rng.integers(1, (1 << 61) - 1, n_perm_b, dtype=np.uint64) | np.uint64(1)
         b = rng.integers(0, (1 << 61) - 1, n_perm_b, dtype=np.uint64)
+        id_arrow_type = None
+        carry_key = None        # last doc of the previous batch may continue
+        carry_min = None
+        out_ids: list = []
+        out_sigs: list = []
+
+        def flush():
+            batch_out = pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_arrow_type),
+                 pa.array([s.astype(np.int64) for s in out_sigs],
+                          pa.list_(pa.int64()))],
+                names=["doc_id", "sig"])
+            out_ids.clear()
+            out_sigs.clear()
+            return batch_out
+
         for batch in batches:
             if not batch.num_rows:
                 continue
             ids = batch.column(0)
+            if id_arrow_type is None:
+                id_arrow_type = ids.type
             h = batch.column(1).to_numpy(zero_copy_only=False).view(np.uint64)
             with np.errstate(over="ignore"):
                 m = (h[:, None] * a[None, :] + b[None, :])  # (rows, n_perm)
-            # a doc's shingles are contiguous (explode preserves row order),
-            # so segmented minimum via reduceat — no pandas groupby
+            # segmented minimum via reduceat over contiguous doc runs
             enc = ids.dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False)
             starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
             mins = np.minimum.reduceat(m, starts, axis=0)
-            seg_ids = enc.dictionary.take(pa.array(codes[starts]))
-            yield pa.RecordBatch.from_arrays(
-                [seg_ids.combine_chunks() if hasattr(seg_ids, "combine_chunks") else seg_ids,
-                 pa.array(list(mins.astype(np.int64)),
-                          pa.list_(pa.int64()))],
-                names=["doc_id", "sig"])
+            seg_vals = enc.dictionary.take(pa.array(codes[starts])).to_pylist()
+            if carry_key is not None:
+                if seg_vals[0] == carry_key:
+                    mins[0] = np.minimum(mins[0], carry_min)
+                else:
+                    out_ids.append(carry_key)
+                    out_sigs.append(carry_min)
+            for i in range(len(seg_vals) - 1):
+                out_ids.append(seg_vals[i])
+                out_sigs.append(mins[i])
+            carry_key = seg_vals[-1]
+            carry_min = mins[-1]
+            if len(out_ids) >= 4096:
+                yield flush()
+        if carry_key is not None:
+            out_ids.append(carry_key)
+            out_sigs.append(carry_min)
+        if out_ids:
+            yield flush()
 
     schema = f"doc_id {id_type}, sig array<bigint>"
-    partial = sh.mapInArrow(sigs, schema)
-
-    # final min across partitions (a doc's shingles may span partitions)
-    def merge_sigs(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf["sig"].to_numpy()).view(np.uint64)
-        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
-                             "sig": [mat.min(axis=0).astype(np.int64)]})
-
-    return partial.groupBy("doc_id").applyInPandas(merge_sigs, schema)
+    return sh.mapInArrow(sigs, schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
