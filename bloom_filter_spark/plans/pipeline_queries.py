@@ -67,14 +67,16 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 # Measured ANN recall at the driver's correctness scale (sf0.01, fixed
-# seeds → deterministic): LSH 4-bit×8-table and IVF 4/16-cell paths sit at
-# ~0.5-0.7 on the weak-signal random embeddings; the asserted bound leaves
-# slack below the measured floor (verdict r2 #4) while still catching a
-# broken bucket join (which drives recall to ~k/N ≈ 0).
-ANN_RECALL_BOUND = 0.35
+# seeds → fully deterministic: seeded hyperplanes/quantizer, deterministic
+# fixture, id-tie-broken top-k): LSH 4-bit×8-table measures exactly 0.70,
+# IVF 4/16-cell exactly 0.60.  Bounds sit 0.10 below the measured value —
+# tight enough to catch a recall regression of a few neighbors per query
+# (not just a broken bucket join driving recall to ~k/N), loose enough to
+# absorb a deliberate re-seed.
+ANN_RECALL_BOUNDS = {"lsh": 0.60, "ivf": 0.50}
 
 
-def _ann_recall_row(spark, ann, exact, k: int):
+def _ann_recall_row(spark, ann, exact, k: int, bound: float):
     """Hash-comparable ANN summary: (n_queries, n_results, recall ≥ bound)
     — the bloom_membership_fpr pattern; the approximate output itself is
     never hash-compared, the exhaustive-twin queries cover exactness."""
@@ -85,7 +87,7 @@ def _ann_recall_row(spark, ann, exact, k: int):
     n_queries = len(TOPK_QUERY_IDS)
     recall = hits / (n_queries * k)
     return spark.createDataFrame(
-        [(n_queries, n_results, bool(recall >= ANN_RECALL_BOUND))],
+        [(n_queries, n_results, bool(recall >= bound))],
         "n_queries bigint, n_results bigint, recall_ge_bound boolean")
 
 
@@ -93,7 +95,8 @@ def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     ann = similarity.lsh_topk(emb, TOPK_QUERY_IDS, k=5)
     exact = similarity.brute_force_topk(emb, TOPK_QUERY_IDS, k=5)
-    return _ann_recall_row(spark, ann, exact, k=5)
+    return _ann_recall_row(spark, ann, exact, k=5,
+                           bound=ANN_RECALL_BOUNDS["lsh"])
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -102,7 +105,8 @@ def q_ivf_topk(spark, sf_dir):
     ann = similarity.ivf_topk(emb, TOPK_QUERY_IDS, k=5,
                               n_lists=16, n_probe=4)
     exact = similarity.brute_force_topk(emb, TOPK_QUERY_IDS, k=5)
-    return _ann_recall_row(spark, ann, exact, k=5)
+    return _ann_recall_row(spark, ann, exact, k=5,
+                           bound=ANN_RECALL_BOUNDS["ivf"])
 
 
 def q_ivf_topk_fullprobe(spark, sf_dir):
@@ -765,7 +769,8 @@ def pipeline_oracles() -> dict[str, str]:
         """,
         # ANN recall paths: the Spark side measures recall vs brute force
         # genuinely (fixed seeds → deterministic) and asserts it against
-        # ANN_RECALL_BOUND; the oracle pins the expected summary row (the
+        # ANN_RECALL_BOUNDS (0.60/0.50, 0.10 under the measured 0.70/0.60);
+        # the oracle pins the expected summary row (the
         # bloom_membership_fpr pattern).  Exactness of the shared pipeline
         # is what the *_fullprobe twins hash-match.
         "embedding_lsh_topk": (
