@@ -216,6 +216,62 @@ def build_sketch(df: DataFrame, sketch, col: str, value_kind: str = "i32_array",
     return blob, n_items
 
 
+def build_delta_partials(df: DataFrame, sketch, col: str, sign_col: str,
+                         value_kind: str = "str",
+                         repartition: int | None = None) -> DataFrame:
+    """Changelog fold: one partial per partition over (key, ±1) rows.
+
+    Distributed deletes for counter-summed sketches (counting bloom):
+    inserts carry sign +1, deletes −1; partitions fold their slice with NO
+    local presence check (a partition may see a delete for a key inserted
+    elsewhere — its counters go locally negative and the merge sum restores
+    the global multiset).  Requires the classic counting-filter discipline:
+    globally, deletes ≤ inserts per key.  The sketch must implement
+    ``update_delta_{str,i32}``.
+    """
+    # null keys are dropped in-plan: _arrow_values drop_null would desync
+    # the parallel signs column inside the kernel
+    sel = (df.where(F.col(col).isNotNull())
+           .select(F.col(col).alias("v"),
+                   F.col(sign_col).cast("int").alias("s")))
+    if repartition:
+        sel = sel.repartition(repartition)
+    updater = f"update_delta_{value_kind}"
+    if not hasattr(sketch, updater):
+        raise ValueError(f"{sketch.kind} does not support signed updates")
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        state = sketch.empty()
+        n = 0
+        for b in batches:
+            vals = _arrow_values(b.column(0), value_kind)
+            signs = b.column(1).to_numpy(zero_copy_only=False).astype(np.int32)
+            if len(vals):
+                getattr(sketch, updater)(state, vals, signs)
+                n += len(vals)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pa.RecordBatch.from_pydict({
+            "partition_id": pa.array([pid], pa.int64()),
+            "n_items": pa.array([n], pa.int64()),
+            "state": pa.array([sketch.serialize(state)], pa.binary()),
+        })
+
+    return sel.mapInArrow(partial_fn, PARTIAL_SCHEMA)
+
+
+def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
+                       value_kind: str = "str", fanin: int = 64,
+                       repartition: int | None = None) -> tuple[bytes, int]:
+    """Changelog fold → merged state blob (see build_delta_partials)."""
+    from .merge import merge_partials_auto
+    partials = build_delta_partials(df, sketch, col, sign_col, value_kind,
+                                    repartition)
+    return merge_partials_auto(partials, sketch, fanin=fanin,
+                               est_rows=partials.rdd.getNumPartitions())
+
+
 def _describe_input(df: DataFrame) -> str:
     try:
         files = df.inputFiles()

@@ -22,6 +22,7 @@ PARTIAL_SCHEMA = "partition_id long, n_items long, state binary"
 # blobs (params + seeds; see each sketch's serialize())
 _HEADER_LEN = {
     "bloom": 16,          # u32 m | u32 k | u64 seed
+    "cbloom": 16,         # u32 m | u32 k | u64 seed (counters follow)
     "blocked_bloom": 16,
     "cuckoo": 20,         # cuckoo never merges; listed for completeness
     "hll": 12,            # u32 b | u64 seed

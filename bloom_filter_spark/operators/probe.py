@@ -121,7 +121,7 @@ def register_sql_probes(spark: SparkSession, prefix: str, blob: bytes, kind: str
 
     Registers <prefix>_contains (membership kinds), <prefix>_count (cms) or
     <prefix>_rank (kll/tdigest) as session SQL functions."""
-    if kind in ("bloom", "blocked_bloom", "cuckoo"):
+    if kind in ("bloom", "cbloom", "blocked_bloom", "cuckoo"):
         spark.udf.register(f"{prefix}_contains",
                            membership_udf(spark, blob, kind, key_kind))
     elif kind == "cms":

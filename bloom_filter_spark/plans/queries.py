@@ -250,6 +250,49 @@ def q_cuckoo_delete_probe(spark, sf_dir):
         "all_deletes_found boolean, deleted_fp_bounded boolean")
 
 
+def q_cbloom_delete_probe(spark, sf_dir):
+    """Counting Bloom filter (Fan, Cao, Almeida & Broder 2000) with
+    *distributed* deletes, expressed as a changelog fold: every doc_id is
+    inserted (+1) and the odd-parity half deleted (−1) in ONE partitioned
+    pass (operators/build.py::build_delta_sketch) with NO per-partition
+    presence check — a partition may fold a delete for a key inserted
+    elsewhere; the associative counter-SUM merge restores the global
+    multiset.  This is the delete capability the reference's cuckoo filter
+    provides single-writer (/root/reference/filter/cuckoo/filter.go:87-106)
+    re-expressed union-mergeably, so it scales like the bloom build (shuffle
+    = P × state rows, input-size-independent).  Invariants: kept keys all
+    probe present (zero FN); no merged counter is negative (the
+    delete-≤-insert discipline held globally); deleted keys false-positive
+    only within the classic filter's bound."""
+    from ..operators import build_delta_sketch
+    from ..sketches import CountingBloomSketch
+    toks = _tokens(spark, sf_dir)
+    n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
+    cb = CountingBloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P))
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    docs = toks.select("doc_id", parity)
+    changelog = (docs.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(docs.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign"))))
+    blob, _n = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
+    _, state = CountingBloomSketch.deserialize(blob)
+    non_negative = bool((state >= 0).all())
+    probe = membership_udf(spark, blob, "cbloom", "str")
+    agg = docs.agg(
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when((F.col("par") == 0) & ~probe(F.col("doc_id")), 1)
+              .otherwise(0)).alias("kept_missing"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("n_deleted"),
+        F.sum(F.when((F.col("par") == 1) & probe(F.col("doc_id")), 1)
+              .otherwise(0)).alias("del_fp")).collect()[0]
+    fp_rate = (agg.del_fp / agg.n_deleted) if agg.n_deleted else 0.0
+    return spark.createDataFrame(
+        [(int(agg.n_kept), bool(agg.kept_missing == 0), int(agg.n_deleted),
+          bool(fp_rate <= 0.05), non_negative)],
+        "n_kept bigint, kept_all_present boolean, n_deleted bigint, "
+        "deleted_fp_bounded boolean, no_negative_counters boolean")
+
+
 # --------------------------------------------------------------------------
 # HLL distinct counts
 # --------------------------------------------------------------------------
@@ -560,6 +603,7 @@ SKETCH_QUERIES = {
     "blocked_bloom_xxh3_doc_membership": q_blocked_bloom_xxh3_doc_membership,
     "cuckoo_doc_membership": q_cuckoo_doc_membership,
     "cuckoo_delete_probe": q_cuckoo_delete_probe,
+    "cbloom_delete_probe": q_cbloom_delete_probe,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "hll_distinct_per_source": q_hll_distinct_per_source,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -607,6 +651,16 @@ def sketch_oracles() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
                    TRUE AS all_deletes_found,
                    TRUE AS deleted_fp_bounded
+            FROM {tok}
+        """,
+        "cbloom_delete_probe": f"""
+            SELECT CAST(sum(CASE WHEN ascii(right(doc_id, 1)) % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   TRUE AS kept_all_present,
+                   CAST(sum(CASE WHEN ascii(right(doc_id, 1)) % 2 = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                   TRUE AS deleted_fp_bounded,
+                   TRUE AS no_negative_counters
             FROM {tok}
         """,
         "hll_distinct_tokens": f"""

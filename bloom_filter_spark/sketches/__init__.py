@@ -9,6 +9,7 @@ partial → merge-tree → final aggregation.
 
 from .base import SKETCH_KINDS, MergeableSketch, sketch_for_kind  # noqa: F401
 from .bloom import BloomParams, BloomSketch  # noqa: F401
+from .counting_bloom import CountingBloomSketch  # noqa: F401
 from .blocked_bloom import BlockedBloomParams, BlockedBloomSketch  # noqa: F401
 from .cuckoo import CuckooParams, CuckooFilter  # noqa: F401
 from .hll import HLLParams, HLLSketch  # noqa: F401

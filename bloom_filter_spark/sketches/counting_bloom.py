@@ -1,0 +1,197 @@
+"""Counting Bloom filter — deletable approximate membership, union-mergeable.
+
+Fan, Cao, Almeida & Broder 2000 ("Summary Cache"): replace each bit of the
+classic filter with a counter; insert increments the k counters, delete
+decrements them, membership = all k counters ≥ 1.  Same sizing math, index
+expansion and FPR analysis as the reference's Bloom filter
+(/root/reference/filter/bloom/filter.go:23-25, hash.go:5-14) — this sketch
+reuses ``BloomParams`` verbatim, so k/m/FPR behavior is identical to the
+reference's insert-only filter; only the per-cell state widens.
+
+Why it exists next to the cuckoo filter (which also deletes,
+/root/reference/filter/cuckoo/filter.go:87-106): cuckoo states are NOT
+union-mergeable (bucket overflow), so distributed cuckoo is scoped to
+single-writer grouped builds.  Counting-bloom states merge by element-wise
+counter SUM — associative and commutative — which makes *distributed
+deletes* expressible: partitions fold inserts as +1 and deletes as −1
+(``update_delta_*``, no per-partition presence check), the merge sums the
+deltas, and the merged filter answers membership for the global multiset.
+The required discipline is the classic one: globally, a key must never be
+deleted more times than it was inserted (counters would go negative and the
+guarantee degrades exactly like an underflowed 4-bit counting bloom).
+
+Checked semantics (``delete_*``): batch-checks presence first and only
+decrements keys whose k counters are all ≥ 1, returning the per-key "was
+present" mask — the cuckoo delete contract (multiset: removes ONE copy).
+
+Invariants (insert-only or disciplined delete): zero false negatives for
+live keys; FPR ≤ the classic filter's at equal (m, k); ``point()`` =
+min over the k counters never underestimates a key's live multiplicity
+(the CMS argument restricted to k cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import hashing
+from ..core.serde import Reader, pack_u32, pack_u64
+from .base import register
+from .bloom import BloomParams
+
+# Counters are int32: a cell's expected load is n·k/m < 1 (the filter is
+# sized for ~0.5 bits set per cell), so int32 overflow would need ~2^31
+# same-cell inserts — unreachable before the filter is useless anyway.
+_DTYPE = np.int32
+
+
+@register
+class CountingBloomSketch:
+    kind = "cbloom"
+
+    def __init__(self, params: BloomParams):
+        self.params = params
+
+    # -- state ------------------------------------------------------------
+    def empty(self) -> np.ndarray:
+        return np.zeros(self.params.m, dtype=_DTYPE)
+
+    # -- hashing (same K-M expansion as BloomSketch) -----------------------
+    def _hash(self, values, kind: str) -> np.ndarray:
+        p = self.params
+        fn = {"i32": hashing.hash64_i32, "i64": hashing.hash64_i64,
+              "str": hashing.hash64_str}[kind]
+        if kind == "i32":
+            return fn(np.asarray(values, np.int32), p.seed)
+        if kind == "i64":
+            return fn(np.asarray(values, np.int64), p.seed)
+        return fn(values, p.seed)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(k, N) int64 cell indices via the K-M expansion
+        (idx_i = (h1 + i·h2) & (m-1) — hash.go:5-14)."""
+        p = self.params
+        mask = np.uint64(p.m - 1)
+        h1, h2 = hashing.split_h1_h2(h)
+        out = np.empty((p.k, h.size), np.int64)
+        idx = np.empty(h.size, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(p.k):
+                np.multiply(h2, np.uint64(i), out=idx)
+                np.add(idx, h1, out=idx)
+                np.bitwise_and(idx, mask, out=idx)
+                out[i] = idx.astype(np.int64)
+        return out
+
+    # -- build ------------------------------------------------------------
+    def _apply_delta(self, state, h: np.ndarray, delta) -> None:
+        idx = self._indices(h)
+        d = np.asarray(delta, _DTYPE)
+        for i in range(idx.shape[0]):
+            np.add.at(state, idx[i], d)
+
+    def update_i32(self, state, values) -> None:
+        self._apply_delta(state, self._hash(values, "i32"), 1)
+
+    def update_i64(self, state, values) -> None:
+        self._apply_delta(state, self._hash(values, "i64"), 1)
+
+    def update_str(self, state, values) -> None:
+        self._apply_delta(state, self._hash(values, "str"), 1)
+
+    # -- distributed delete fold (no presence check — see module doc) ------
+    def update_delta_i32(self, state, values, signs) -> None:
+        self._apply_delta(state, self._hash(values, "i32"), signs)
+
+    def update_delta_str(self, state, values, signs) -> None:
+        self._apply_delta(state, self._hash(values, "str"), signs)
+
+    # -- probe ------------------------------------------------------------
+    def _min_counter(self, state, h: np.ndarray) -> np.ndarray:
+        idx = self._indices(h)
+        acc = state[idx[0]]
+        for i in range(1, idx.shape[0]):
+            np.minimum(acc, state[idx[i]], out=acc)
+        return acc
+
+    def contains_i32(self, state, values) -> np.ndarray:
+        return self._min_counter(state, self._hash(values, "i32")) >= 1
+
+    def contains_i64(self, state, values) -> np.ndarray:
+        return self._min_counter(state, self._hash(values, "i64")) >= 1
+
+    def contains_str(self, state, values) -> np.ndarray:
+        return self._min_counter(state, self._hash(values, "str")) >= 1
+
+    # -- frequency upper bound (CMS argument on k cells) -------------------
+    def point_str(self, state, values) -> np.ndarray:
+        return np.maximum(self._min_counter(state, self._hash(values, "str")), 0)
+
+    def point_i32(self, state, values) -> np.ndarray:
+        return np.maximum(self._min_counter(state, self._hash(values, "i32")), 0)
+
+    # -- checked delete (cuckoo contract: remove ONE copy if present) ------
+    def _delete_hashes(self, state, h: np.ndarray) -> np.ndarray:
+        idx = self._indices(h)
+        acc = state[idx[0]]
+        for i in range(1, idx.shape[0]):
+            np.minimum(acc, state[idx[i]], out=acc)
+        present = acc >= 1
+        # Within-batch duplicate deletes of a key present once both pass the
+        # batch-start check; the second decrement would underflow.  Decrement
+        # sequentially per distinct key copy instead: cap each distinct
+        # key's decrements at its batch-start min counter.
+        if present.any():
+            hp = h[present]
+            uh, inv, cnt = np.unique(hp, return_inverse=True, return_counts=True)
+            start = self._min_counter(state, uh)
+            allowed = np.minimum(cnt.astype(np.int64), start.astype(np.int64))
+            # first `allowed[j]` occurrences of key j decrement; later
+            # duplicates report not-present (multiset exhausted mid-batch)
+            order = np.argsort(inv, kind="stable")
+            occ = np.empty(hp.size, np.int64)
+            ranks = np.arange(hp.size) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            occ[order] = ranks
+            do_del = occ < allowed[inv]
+            dele = np.flatnonzero(present)[do_del]
+            self._apply_delta(state, h[dele], -1)
+            full = np.zeros(h.size, bool)
+            full[dele] = True
+            return full
+        return present
+
+    def delete_str(self, state, values) -> np.ndarray:
+        return self._delete_hashes(state, self._hash(values, "str"))
+
+    def delete_i32(self, state, values) -> np.ndarray:
+        return self._delete_hashes(state, self._hash(values, "i32"))
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, a, b) -> np.ndarray:
+        return a + b
+
+    # -- serde (engine layout; the reference has no counting filter) -------
+    def serialize(self, state: np.ndarray) -> bytes:
+        p = self.params
+        header = pack_u32(p.m) + pack_u32(p.k) + pack_u64(p.seed)
+        return header + state.astype("<i4").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, n: int | None = None,
+                    p: float | None = None):
+        r = Reader(blob)
+        m = r.u32()
+        k = r.u32()
+        seed = r.u64()
+        state = r.array("<i4", m).astype(_DTYPE)
+        params = object.__new__(BloomParams)
+        object.__setattr__(params, "n", n or 0)
+        object.__setattr__(params, "p", p or 0.0)
+        object.__setattr__(params, "seed", seed)
+        object.__setattr__(params, "hash_family", "splitmix64")
+        object.__setattr__(params, "m_pre", m)
+        object.__setattr__(params, "k", k)
+        object.__setattr__(params, "m", m)
+        object.__setattr__(params, "n_words", (m >> 6) + 1)
+        return cls(params), state

@@ -246,3 +246,30 @@ def test_reservoir_distributed_build(spark, tokens_df):
     present = set(r.t for r in tokens_df.select(
         F.explode("tokens").alias("t")).distinct().collect())
     assert set(state.sample.tolist()) <= present
+
+
+def test_counting_bloom_changelog_fold(spark, tokens_df):
+    """Distributed insert/delete changelog: deletes land on DIFFERENT
+    partitions than their inserts (repartition by sign), so partials go
+    locally negative and only the counter-sum merge restores the global
+    multiset — the property that makes deletes union-mergeable."""
+    from bloom_filter_spark.operators import build_delta_sketch
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    cb = CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+    docs = tokens_df.select("doc_id")
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    with_par = docs.select("doc_id", parity)
+    changelog = (with_par.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(with_par.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign"))))
+    # repartition by sign: every delete is folded apart from its insert
+    blob, n = build_delta_sketch(changelog.repartition(8, "sign"),
+                                 cb, "doc_id", "sign", "str")
+    cb2, state = CountingBloomSketch.deserialize(blob)
+    assert (state >= 0).all()  # discipline held globally
+    kept = [r.doc_id for r in with_par.where(F.col("par") == 0).collect()]
+    dele = [r.doc_id for r in with_par.where(F.col("par") == 1).collect()]
+    assert cb2.contains_str(state, kept).all()  # zero FN on survivors
+    assert cb2.contains_str(state, dele).mean() <= 0.05
+    assert n == len(kept) + 2 * len(dele)
