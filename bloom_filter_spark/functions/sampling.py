@@ -1,0 +1,75 @@
+"""Weighted sampling without replacement — training-data curation op.
+
+Efraimidis & Spirakis 2006 (A-ES): draw a sample of k items without
+replacement with inclusion probability proportional to weight by assigning
+each item the key u_i^(1/w_i), u_i ~ U(0,1), and keeping the k largest keys.
+Spark-first realization: the per-item key is a pure function of the row, so
+the whole operator is one scan + global top-k — Catalyst plans the
+``orderBy(desc).limit(k)`` as TakeOrderedAndProject (per-partition top-k,
+k·P rows to the driver, NO data shuffle, no full sort), which is exactly the
+distributed merge of per-partition weighted reservoirs.  A dedicated
+mergeable reservoir sketch would duplicate what the optimizer already does.
+
+Determinism: u_i derives from ``hash64_i64(id, seed)`` — the engine's
+splitmix64 mixer (core/hashing.py) — so the sample is reproducible across
+runs, partitionings and retries (a requirement for resumable curation
+pipelines), and duplicate ids get identical keys (with ``dedup=True`` a
+re-ingested copy can never displace other items).  We sort on log(u)/w, a monotone
+transform of u^(1/w) that avoids pow() underflow for tiny u / huge w.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import hashing
+
+_SCALE = 2.0 ** -53
+
+
+def weighted_logkeys_np(ids: np.ndarray, weights: np.ndarray,
+                        seed: int) -> np.ndarray:
+    """log(u_i)/w_i per item (float64).  u_i ∈ (0,1] from the id hash;
+    the +1 keeps u strictly positive so log is finite."""
+    h = hashing.hash64_i64(np.asarray(ids, np.int64), seed)
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * _SCALE
+    w = np.asarray(weights, np.float64)
+    if (w <= 0).any():
+        raise ValueError("A-ES weights must be strictly positive")
+    return np.log(u) / w
+
+
+def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
+                         k: int, seed: int = hashing.DEFAULT_SEED,
+                         dedup: bool = False) -> DataFrame:
+    """→ DataFrame(id, weight, logkey): the k items sampled without
+    replacement ∝ weight.  One scan; TakeOrderedAndProject top-k.
+
+    ``dedup``: the per-item key is idempotent (same id ⇒ same key), but a
+    duplicated row still occupies a second top-k SLOT; pass True when ids
+    may repeat — a pre-aggregation on (id, max weight) shuffles only the
+    id/weight columns, never the payload, then the draw is exactly the
+    distinct-id draw.
+    """
+    sel = (df.where(F.col(weight_col) > 0)
+           .select(F.col(id_col).cast("long").alias("id"),
+                   F.col(weight_col).cast("double").alias("weight")))
+    if dedup:
+        sel = sel.groupBy("id").agg(F.max("weight").alias("weight"))
+
+    def add_keys(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "weight": pdf["weight"],
+                "logkey": weighted_logkeys_np(ids, pdf["weight"].to_numpy(),
+                                              seed),
+            })
+
+    keyed = sel.mapInPandas(add_keys, "id long, weight double, logkey double")
+    return (keyed.orderBy(F.desc("logkey"), F.asc("id")).limit(k)
+            .select(F.col("id").alias(id_col),
+                    F.col("weight").alias(weight_col), "logkey"))

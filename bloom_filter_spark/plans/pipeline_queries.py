@@ -12,7 +12,8 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..functions import dedup, multimodal, relational, similarity, textstats
+from ..functions import (dedup, multimodal, relational, sampling, similarity,
+                         textstats)
 
 TOPK_QUERY_IDS = list(range(10))
 COSINE_TAU = 0.45
@@ -398,6 +399,21 @@ def q_shipdate_rollup(spark, sf_dir):
     return relational.lineitem_shipdate_rollup(spark, sf_dir)
 
 
+WSAMPLE_K = 100
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sampling without replacement, ∝ n_chars (the classic
+    'sample documents proportional to length' curation draw).  Deterministic
+    per-item keys (functions/sampling.py) make the draw reproducible and the
+    oracle exact: the SQL re-sorts driver-side-recomputed log-keys."""
+    out = sampling.weighted_sample_topk(_docs(spark, sf_dir), "doc_id",
+                                        "n_chars", k=WSAMPLE_K)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      F.round("logkey", 6).alias("logkey"))
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -426,6 +442,7 @@ PIPELINE_QUERIES = {
     "events_sessionize": q_sessionize,
     "event_type_stats": q_event_type_stats,
     "lineitem_shipdate_rollup": q_shipdate_rollup,
+    "weighted_sample_docs": q_weighted_sample,
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
@@ -483,6 +500,44 @@ _COSINE_NEARDUP_SQL = f"""
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
 """
+
+
+def _wsample_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Log-key table for the weighted_sample_docs oracle: A-ES keys per doc
+    computed DRIVER-SIDE with plain numpy over the documents parquet (an
+    independent execution path from the mapInPandas kernel), written once.
+    The DuckDB oracle re-sorts them and takes the same top-k — checking the
+    distributed key computation AND the TakeOrderedAndProject selection."""
+    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    sf_name = sf_name_of_dir(sf_dir)
+    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name,
+                       "wsample_logkeys.parquet")
+    if not os.path.exists(out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+        ids = t.column("doc_id").to_numpy()
+        w = t.column("n_chars").to_numpy()
+        pos = w > 0
+        keys = sampling.weighted_logkeys_np(ids[pos], w[pos],
+                                            seed=sampling.hashing.DEFAULT_SEED)
+        tmp = out + ".tmp"
+        pq.write_table(pa.table({"doc_id": pa.array(ids[pos]),
+                                 "logkey": pa.array(keys)}), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def _wsample_sql() -> str:
+    path = _wsample_fixture()
+    return f"""
+        SELECT t.doc_id, d.n_chars, round(t.logkey, 6) AS logkey
+        FROM (SELECT doc_id, logkey FROM read_parquet('{path}')
+              ORDER BY logkey DESC, doc_id LIMIT {WSAMPLE_K}) t
+        JOIN documents d ON t.doc_id = d.doc_id
+    """
 
 
 def _simhash_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -789,6 +844,10 @@ def pipeline_oracles() -> dict[str, str]:
     # one bad fixture killing oracle generation for every query.
     try:
         out["dedup_simhash"] = _simhash_sql()
+    except Exception:
+        pass
+    try:
+        out["weighted_sample_docs"] = _wsample_sql()
     except Exception:
         pass
     # closed-form watermark re-derivation over the late-data stream fixture

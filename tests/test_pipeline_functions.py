@@ -409,3 +409,52 @@ def test_near_dup_clusters_on_real_pairs(spark, docs, exact_pairs):
     # every cluster id is the min of its members
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+# ------------------------------------------------------------- weighted sample
+def test_weighted_sample_deterministic_and_partition_invariant(docs, spark):
+    from bloom_filter_spark.functions import sampling
+    s1 = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+    s2 = sampling.weighted_sample_topk(docs.repartition(13), "doc_id",
+                                       "n_chars", k=50)
+    r1 = [(r.doc_id, round(r.logkey, 9)) for r in s1.collect()]
+    r2 = [(r.doc_id, round(r.logkey, 9)) for r in s2.collect()]
+    assert r1 == r2  # same sample under any partitioning
+    assert len(r1) == 50 and len(set(i for i, _ in r1)) == 50
+
+
+def test_weighted_sample_favors_heavy_items(spark):
+    from bloom_filter_spark.functions import sampling
+    # 100 heavy items (weight 100) among 900 light (weight 1): the expected
+    # heavy share of a 100-draw A-ES sample is ~91%; assert a loose floor
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sampling.weighted_sample_topk(df, "id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r.id < 100)
+    assert heavy >= 70
+
+
+def test_weighted_sample_duplicate_ids_idempotent(spark):
+    from bloom_filter_spark.functions import sampling
+    base = [(i, float(i % 7 + 1)) for i in range(500)]
+    df1 = spark.createDataFrame(base, "id long, w double")
+    df2 = spark.createDataFrame(base + base[:200], "id long, w double")
+    s1 = {r.id for r in sampling.weighted_sample_topk(
+        df1, "id", "w", k=40).collect()}
+    s2 = {r.id for r in sampling.weighted_sample_topk(
+        df2, "id", "w", k=40, dedup=True).collect()}
+    assert s1 == s2  # re-ingested copies cannot displace other items
+
+
+def test_weighted_sample_plan_is_take_ordered(docs):
+    from bloom_filter_spark.functions import sampling
+    plan = (sampling.weighted_sample_topk(docs, "doc_id", "n_chars", k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no sort
+
+
+def test_weighted_sample_rejects_nonpositive_weights():
+    from bloom_filter_spark.functions import sampling
+    import numpy as np
+    with pytest.raises(ValueError, match="strictly positive"):
+        sampling.weighted_logkeys_np(np.arange(3), np.array([1.0, 0.0, 2.0]), 42)
