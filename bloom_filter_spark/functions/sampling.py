@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core import hashing
 
@@ -72,4 +72,36 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     keyed = sel.mapInPandas(add_keys, "id long, weight double, logkey double")
     return (keyed.orderBy(F.desc("logkey"), F.asc("id")).limit(k)
             .select(F.col("id").alias(id_col),
+                    F.col("weight").alias(weight_col), "logkey"))
+
+
+def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
+                              group_col: str, k: int,
+                              seed: int = hashing.DEFAULT_SEED) -> DataFrame:
+    """Stratified A-ES: an independent weighted k-sample per group (the
+    per-source curation draw).  Same deterministic keys; rank-within-group
+    replaces the global top-k, so the only exchange is the window's
+    hash-partition on ``group_col`` over (id, group, weight) rows — payload
+    columns never move, and no per-group state touches the driver."""
+    sel = (df.where(F.col(weight_col) > 0)
+           .select(F.col(id_col).cast("long").alias("id"),
+                   F.col(group_col).alias("grp"),
+                   F.col(weight_col).cast("double").alias("weight")))
+
+    def add_keys(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "id": pdf["id"], "grp": pdf["grp"], "weight": pdf["weight"],
+                "logkey": weighted_logkeys_np(ids, pdf["weight"].to_numpy(),
+                                              seed),
+            })
+
+    keyed = sel.mapInPandas(
+        add_keys, "id long, grp string, weight double, logkey double")
+    win = Window.partitionBy("grp").orderBy(F.desc("logkey"), F.asc("id"))
+    return (keyed.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") <= k).drop("rn")
+            .select(F.col("id").alias(id_col),
+                    F.col("grp").alias(group_col),
                     F.col("weight").alias(weight_col), "logkey"))

@@ -414,6 +414,22 @@ def q_weighted_sample(spark, sf_dir):
                       F.round("logkey", 6).alias("logkey"))
 
 
+WSAMPLE_GROUP_K = 20
+
+
+def q_weighted_sample_per_source(spark, sf_dir):
+    """Stratified draw: an independent length-weighted 20-sample per source
+    (window rank over the same deterministic keys — no driver bottleneck,
+    payload never shuffles)."""
+    out = sampling.weighted_sample_per_group(
+        _docs(spark, sf_dir), "doc_id", "n_chars", "source",
+        k=WSAMPLE_GROUP_K)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("source").alias("source"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      F.round("logkey", 6).alias("logkey"))
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -443,6 +459,7 @@ PIPELINE_QUERIES = {
     "event_type_stats": q_event_type_stats,
     "lineitem_shipdate_rollup": q_shipdate_rollup,
     "weighted_sample_docs": q_weighted_sample,
+    "weighted_sample_per_source": q_weighted_sample_per_source,
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
@@ -537,6 +554,19 @@ def _wsample_sql() -> str:
         FROM (SELECT doc_id, logkey FROM read_parquet('{path}')
               ORDER BY logkey DESC, doc_id LIMIT {WSAMPLE_K}) t
         JOIN documents d ON t.doc_id = d.doc_id
+    """
+
+
+def _wsample_group_sql() -> str:
+    path = _wsample_fixture()
+    return f"""
+        SELECT doc_id, source, n_chars, round(logkey, 6) AS logkey
+        FROM (SELECT t.doc_id, d.source, d.n_chars, t.logkey,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY t.logkey DESC, t.doc_id) AS rn
+              FROM read_parquet('{path}') t
+              JOIN documents d ON t.doc_id = d.doc_id)
+        WHERE rn <= {WSAMPLE_GROUP_K}
     """
 
 
@@ -848,6 +878,7 @@ def pipeline_oracles() -> dict[str, str]:
         pass
     try:
         out["weighted_sample_docs"] = _wsample_sql()
+        out["weighted_sample_per_source"] = _wsample_group_sql()
     except Exception:
         pass
     # closed-form watermark re-derivation over the late-data stream fixture

@@ -458,3 +458,22 @@ def test_weighted_sample_rejects_nonpositive_weights():
     import numpy as np
     with pytest.raises(ValueError, match="strictly positive"):
         sampling.weighted_logkeys_np(np.arange(3), np.array([1.0, 0.0, 2.0]), 42)
+
+
+def test_weighted_sample_per_group_counts_and_consistency(docs):
+    from bloom_filter_spark.functions import sampling
+    got = sampling.weighted_sample_per_group(
+        docs, "doc_id", "n_chars", "source", k=7).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.source, []).append(r)
+    n_src = docs.select("source").distinct().count()
+    assert len(by_grp) == n_src
+    assert all(len(v) == 7 for v in by_grp.values())
+    # same deterministic keys as the global draw: each group's rows are that
+    # group's top-7 of the globally keyed table
+    all_keyed = {r.doc_id: r.logkey for r in sampling.weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=docs.count()).collect()}
+    for rows in by_grp.values():
+        for r in rows:
+            assert abs(all_keyed[r.doc_id] - r.logkey) < 1e-12
