@@ -81,3 +81,65 @@ def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int) -> DataFra
     return (df.withColumn("__bucket", bucket)
             .repartitionByRange(n_buckets, "__bucket")
             .drop("__bucket"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str, right_cols: list[str],
+              tie_col: str | None = None,
+              tolerance: int | None = None) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with the
+    same ``key`` and right_ts ≤ left_ts (the feature-store / attribution
+    staple Spark lacks as a built-in).
+
+    Spark-first realization — union + running ``last(ignorenulls)`` window,
+    NOT a per-key loop: both sides shuffle ONCE on ``key`` and sort by
+    (ts, side); every left row then reads the most recent right payload in
+    O(1) from the running frame.  At 100 TB this is a single exchange of the
+    two projected sides — strictly cheaper than the naive
+    inequality-join-then-rank (which explodes to all key-pairs before
+    ranking).  Ties: a right row AT the left timestamp matches (≤); equal
+    right timestamps within a key resolve to the largest ``tie_col``.
+
+    ``right_cols`` must be non-null in ``right`` (the running-last trick
+    cannot distinguish a null payload from no-match; matched-ness is the
+    emitted ``<right_ts>_matched`` column).  ``tolerance``: max allowed
+    left_ts − right_ts (same units as the ts columns); staler matches are
+    null-extended, exactly like pandas merge_asof.
+    """
+    from pyspark.sql import Window
+
+    for c in right_cols:
+        if c == key:
+            raise ValueError("right_cols must not include the join key")
+    out_ts = f"{right_ts}_matched"
+    l = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_tie"),
+        "*")
+    tie = (F.col(tie_col) if tie_col is not None
+           else F.monotonically_increasing_id())
+    r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"), tie.cast("long").alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias(f"_r_{out_ts}"))
+    both = l.unionByName(r, allowMissingColumns=True)
+    win = (Window.partitionBy("_k")
+           .orderBy(F.asc("_t"), F.asc("_side"), F.asc_nulls_last("_tie"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = [F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_m_{c}")
+               for c in right_cols + [out_ts]]
+    res = (both.select("*", *matched)
+           .where(F.col("_side") == 1))
+    if tolerance is not None:
+        stale = (F.col("_t") - F.col(f"_m_{out_ts}")) > F.lit(tolerance)
+        res = res.select(
+            *left.columns,
+            *[F.when(stale, None).otherwise(F.col(f"_m_{c}")).alias(c)
+              for c in right_cols],
+            F.when(stale, None).otherwise(F.col(f"_m_{out_ts}")).alias(out_ts))
+    else:
+        res = res.select(*left.columns,
+                         *[F.col(f"_m_{c}").alias(c) for c in right_cols],
+                         F.col(f"_m_{out_ts}").alias(out_ts))
+    return res

@@ -399,6 +399,39 @@ def q_shipdate_rollup(spark, sf_dir):
     return relational.lineitem_shipdate_rollup(spark, sf_dir)
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """Backward as-of join (functions/joins.py::asof_join): each purchase
+    attributed to the user's latest click at-or-before it — one shuffle on
+    user_id, running-last window, no inequality join explosion.  Oracle:
+    DuckDB's native ASOF LEFT JOIN.  Timestamps hop to epoch micros on both
+    sides (NTZ-safe)."""
+    from ..functions.joins import asof_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.col("ts_us").alias("purchase_ts")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts_us",
+                      F.col("event_id").alias("click_id"),
+                      F.col("value").alias("click_value")))
+    return asof_join(purch, clicks, key="user_id",
+                     left_ts="purchase_ts", right_ts="ts_us",
+                     right_cols=["click_id", "click_value"],
+                     tie_col="click_id")
+
+
+_ASOF_SQL = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts,
+           c.event_id AS click_id, c.value AS click_value,
+           epoch_us(c.ts) AS ts_us_matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 WSAMPLE_K = 100
 
 
@@ -460,6 +493,7 @@ PIPELINE_QUERIES = {
     "lineitem_shipdate_rollup": q_shipdate_rollup,
     "weighted_sample_docs": q_weighted_sample,
     "weighted_sample_per_source": q_weighted_sample_per_source,
+    "events_asof_attribution": q_events_asof_attribution,
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
@@ -852,6 +886,7 @@ def pipeline_oracles() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_price
             FROM lineitem GROUP BY 1
         """,
+        "events_asof_attribution": _ASOF_SQL,
         # ANN recall paths: the Spark side measures recall vs brute force
         # genuinely (fixed seeds → deterministic) and asserts it against
         # ANN_RECALL_BOUNDS (0.60/0.50, 0.10 under the measured 0.70/0.60);

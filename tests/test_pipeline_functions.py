@@ -477,3 +477,49 @@ def test_weighted_sample_per_group_counts_and_consistency(docs):
     for rows in by_grp.values():
         for r in rows:
             assert abs(all_keyed[r.doc_id] - r.logkey) < 1e-12
+
+
+# ------------------------------------------------------------------ as-of join
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+    from bloom_filter_spark.functions.joins import asof_join
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200), "lt": rng.integers(0, 10_000, 200),
+        "lid": np.arange(200)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 300), "rt": rng.integers(0, 10_000, 300),
+        "payload": rng.normal(size=300).round(6)})
+    right = right.drop_duplicates(["k", "rt"]).reset_index(drop=True)
+    ldf = spark.createDataFrame(left.astype({"k": "int64", "lt": "int64"}))
+    rdf = spark.createDataFrame(right.astype({"k": "int64", "rt": "int64"}))
+    got = asof_join(ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["payload"]).toPandas()
+    want = pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                         left_on="lt", right_on="rt", by="k",
+                         direction="backward")
+    got = got.sort_values("lid").reset_index(drop=True)
+    want = want.sort_values("lid").reset_index(drop=True)
+    assert (got["payload"].fillna(-1).to_numpy()
+            == want["payload"].fillna(-1).to_numpy()).all()
+    assert (got["rt_matched"].fillna(-1).to_numpy()
+            == want["rt"].fillna(-1).to_numpy()).all()
+
+
+def test_asof_join_equal_ts_matches_and_tolerance(spark):
+    from bloom_filter_spark.functions.joins import asof_join
+    ldf = spark.createDataFrame(
+        [(1, 100, 0), (1, 250, 1), (2, 50, 2)], "k long, lt long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 100, 7, 1.5), (1, 90, 6, 2.5)], "k long, rt long, rid long, v double")
+    got = {r.lid: (r.rid, r.rt_matched) for r in asof_join(
+        ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+        right_cols=["rid", "v"], tie_col="rid").collect()}
+    assert got[0] == (7, 100)      # right row AT left ts matches (<=)
+    assert got[1] == (7, 100)      # latest wins
+    assert got[2] == (None, None)  # no right rows for key 2
+    tol = {r.lid: (r.rid, r.rt_matched) for r in asof_join(
+        ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+        right_cols=["rid", "v"], tie_col="rid", tolerance=100).collect()}
+    assert tol[0] == (7, 100)      # age 0 ≤ 100
+    assert tol[1] == (None, None)  # age 150 > 100 → null-extended
