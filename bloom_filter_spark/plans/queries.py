@@ -450,6 +450,41 @@ def q_kll_token_value_quantiles(spark, sf_dir):
                                  "explode(tokens)", sk.params.rank_error * 1.5)
 
 
+def q_kll_grouped_quantiles(spark, sf_dir):
+    """Per-source n_tok quantiles from GROUPED mergeable KLL states — the
+    north rule's quantile sketch under the grouped build path (map-side
+    combine: per-input-partition grouped partials, weighted compactor
+    merges per group).  Rank-interval guarantee checked per (source, q)
+    against exact ranks computed in one conditional-aggregation scan."""
+    sk = KLLSketch(KLL_CFG)
+    toks = _tokens(spark, sf_dir)
+    grouped = build_grouped(toks, sk, "source", "n_tok", "f64").collect()
+    ests = {}
+    for row in grouped:
+        _, state = KLLSketch.deserialize(bytes(row.state))
+        ests[row.group] = sk.quantiles(state, QS)
+    aggs = [F.count("*").alias("n")]
+    for g, est in sorted(ests.items()):
+        for i, e in enumerate(est):
+            cond = F.col("source") == g
+            aggs.append(F.sum((cond & (F.col("n_tok") < float(e)))
+                              .cast("long")).alias(f"lt_{g}_{i}"))
+            aggs.append(F.sum((cond & (F.col("n_tok") <= float(e)))
+                              .cast("long")).alias(f"le_{g}_{i}"))
+            aggs.append(F.sum(cond.cast("long")).alias(f"n_{g}_{i}"))
+    row = toks.agg(*aggs).collect()[0]
+    bound = sk.params.rank_error * 1.5
+    out = []
+    for g in sorted(ests):
+        for i, q in enumerate(QS):
+            n_g = row[f"n_{g}_{i}"]
+            lt = row[f"lt_{g}_{i}"] / n_g
+            le = row[f"le_{g}_{i}"] / n_g
+            out.append((g, float(q), bool(lt - bound <= q <= le + bound)))
+    return spark.createDataFrame(
+        out, "source string, q double, within_bound boolean")
+
+
 # --------------------------------------------------------------------------
 # checkpoint / streaming lifecycle queries
 # --------------------------------------------------------------------------
@@ -613,6 +648,7 @@ SKETCH_QUERIES = {
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
     "kll_token_value_quantiles": q_kll_token_value_quantiles,
+    "kll_grouped_quantiles_per_source": q_kll_grouped_quantiles,
     "bloom_checkpoint_resume": q_bloom_checkpoint_resume,
     "streaming_bloom_equals_batch": q_streaming_bloom,
     "tdigest_rank_probe": q_tdigest_rank_probe,
@@ -705,6 +741,11 @@ def sketch_oracles() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS t FROM {tok})
         """,
         "kll_ntok_quantiles": qb_sql,
+        "kll_grouped_quantiles_per_source": f"""
+            SELECT source, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT source FROM {tok})
+            CROSS JOIN (VALUES {qs_rows}) t(q, within_bound)
+        """,
         "tdigest_ntok_quantiles": qb_sql,
         "kll_token_value_quantiles": qb_sql,
         "bloom_checkpoint_resume": f"""
