@@ -143,3 +143,35 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                          *[F.col(f"_m_{c}").alias(c) for c in right_cols],
                          F.col(f"_m_{out_ts}").alias(out_ts))
     return res
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key: str,
+               point_ts: str, start_ts: str, end_ts: str,
+               bucket: int) -> DataFrame:
+    """All (point, interval) pairs with the same ``key`` and
+    start ≤ point_ts ≤ end — the range join Spark would otherwise plan as a
+    broadcast-nested-loop / inequality join.
+
+    Scale path: intervals explode to the fixed-width buckets they cover
+    (``F.sequence`` — ceil(interval_len / bucket) + 1 rows per interval,
+    bounded when interval lengths are), points hash to ONE bucket, and the
+    candidates come from a plain equi-join on (key, bucket) that AQE can
+    co-partition; the exact BETWEEN predicate filters bucket-edge misses.
+    Pick ``bucket`` ≈ the typical interval length: each interval explodes
+    to ~2 rows and the join never leaves equi-land.  Both inputs must carry
+    ``key`` under the same name; all other columns must be disjoint
+    (alias collisions away beforehand).  Timestamps are numeric (epoch
+    units); a point on an interval boundary matches (inclusive both ends).
+    """
+    dup = (set(points.columns) & set(intervals.columns)) - {key}
+    if dup:
+        raise ValueError(f"alias colliding columns before range_join: {dup}")
+    b = F.lit(int(bucket))
+    iv = intervals.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.col(start_ts) / b).cast("long"),
+            F.floor(F.col(end_ts) / b).cast("long"))))
+    pt = points.withColumn("_bk", F.floor(F.col(point_ts) / b).cast("long"))
+    return (pt.join(iv, [key, "_bk"], "inner")
+            .where(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
+            .drop("_bk"))

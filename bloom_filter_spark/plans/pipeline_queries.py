@@ -421,6 +421,43 @@ def q_events_asof_attribution(spark, sf_dir):
                      tie_col="click_id")
 
 
+ERR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join (functions/joins.py::range_join): every click inside a
+    user's one-hour post-error window — bounded bucket explode + equi-join
+    on (user_id, bucket), never an inequality/nested-loop plan.  Oracle:
+    the naive SQL BETWEEN join."""
+    from ..functions.joins import range_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts_us").alias("click_ts")))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("error_id"),
+                      F.col("ts_us").alias("err_start"),
+                      (F.col("ts_us") + F.lit(ERR_WINDOW_US))
+                      .alias("err_end")))
+    out = range_join(clicks, errors, key="user_id", point_ts="click_ts",
+                     start_ts="err_start", end_ts="err_end",
+                     bucket=ERR_WINDOW_US)
+    return out.select("user_id", "click_id", "error_id", "click_ts",
+                      "err_start")
+
+
+_RANGE_SQL = f"""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           epoch_us(c.ts) AS click_ts, epoch_us(e.ts) AS err_start
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
+                            AND epoch_us(e.ts) + {ERR_WINDOW_US}
+"""
+
+
 _ASOF_SQL = """
     SELECT p.event_id AS purchase_id, p.user_id,
            epoch_us(p.ts) AS purchase_ts,
@@ -494,6 +531,7 @@ PIPELINE_QUERIES = {
     "weighted_sample_docs": q_weighted_sample,
     "weighted_sample_per_source": q_weighted_sample_per_source,
     "events_asof_attribution": q_events_asof_attribution,
+    "events_range_join": q_events_range_join,
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
@@ -887,6 +925,7 @@ def pipeline_oracles() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "events_asof_attribution": _ASOF_SQL,
+        "events_range_join": _RANGE_SQL,
         # ANN recall paths: the Spark side measures recall vs brute force
         # genuinely (fixed seeds → deterministic) and asserts it against
         # ANN_RECALL_BOUNDS (0.60/0.50, 0.10 under the measured 0.70/0.60);

@@ -523,3 +523,48 @@ def test_asof_join_equal_ts_matches_and_tolerance(spark):
         right_cols=["rid", "v"], tie_col="rid", tolerance=100).collect()}
     assert tol[0] == (7, 100)      # age 0 ≤ 100
     assert tol[1] == (None, None)  # age 150 > 100 → null-extended
+
+
+def test_range_join_equals_inequality_join(spark):
+    from bloom_filter_spark.functions.joins import range_join
+    rng = np.random.default_rng(11)
+    pts = [(int(k), int(i), int(t)) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 4, 300), rng.integers(0, 100_000, 300)))]
+    ivs = []
+    for j in range(80):
+        s = int(rng.integers(0, 100_000))
+        ivs.append((int(rng.integers(0, 4)), j, s, s + int(rng.integers(0, 5_000))))
+    pdf = spark.createDataFrame(pts, "k long, pid long, pt long")
+    idf = spark.createDataFrame(ivs, "k long, iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in range_join(
+        pdf, idf, key="k", point_ts="pt", start_ts="lo", end_ts="hi",
+        bucket=4_000).collect()}
+    want = {(r.pid, r.iid) for r in pdf.join(
+        idf, (pdf.k == idf.k) & pdf.pt.between(idf.lo, idf.hi)).collect()}
+    assert got == want
+    # boundary inclusivity: point exactly at lo and at hi both match
+    p2 = spark.createDataFrame([(1, 0, 100), (1, 1, 200)], "k long, pid long, pt long")
+    i2 = spark.createDataFrame([(1, 9, 100, 200)], "k long, iid long, lo long, hi long")
+    assert {(r.pid, r.iid) for r in range_join(
+        p2, i2, key="k", point_ts="pt", start_ts="lo", end_ts="hi",
+        bucket=64).collect()} == {(0, 9), (1, 9)}
+
+
+def test_range_join_plan_stays_equi(spark):
+    from bloom_filter_spark.functions.joins import range_join
+    pdf = spark.range(100).selectExpr("id % 5 as k", "id as pid", "id * 7 as pt")
+    idf = spark.range(20).selectExpr("id % 5 as k", "id as iid",
+                                     "id * 31 as lo", "id * 31 + 50 as hi")
+    plan = range_join(pdf, idf, key="k", point_ts="pt", start_ts="lo",
+                      end_ts="hi", bucket=50)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    from bloom_filter_spark.functions.joins import range_join
+    df = spark.range(5).selectExpr("id as k", "id as x")
+    with pytest.raises(ValueError, match="alias colliding"):
+        range_join(df, df, key="k", point_ts="x", start_ts="x", end_ts="x",
+                   bucket=10)
