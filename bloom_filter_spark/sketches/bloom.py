@@ -170,6 +170,17 @@ class BloomSketch:
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.bitwise_or(a, b)
 
+    # -- cardinality (Swamidass & Baldi 2007) ------------------------------
+    def estimate_cardinality(self, state: np.ndarray) -> float:
+        """n̂ = -(m/k)·ln(1 − X/m) from the fill ratio (X = set bits): the
+        filter doubles as a distinct counter, and because merge is bitwise
+        OR the estimate composes over unions.  Saturated filter → inf."""
+        p = self.params
+        x = int(np.unpackbits(state[: p.m >> 6].view(np.uint8)).sum())
+        if x >= p.m:
+            return float("inf")
+        return -(p.m / p.k) * math.log1p(-x / p.m)
+
     # -- serde (reference byte layout, bloom/filter.go:63-92) --------------
     def serialize(self, state: np.ndarray) -> bytes:
         p = self.params

@@ -515,3 +515,20 @@ def test_kmv_set_operations():
     sk.update_i64(small_b, np.arange(200, 500, dtype=np.int64))
     assert sk.intersection_estimate(small_a, small_b) == 100.0
     assert sk.difference_estimate(small_a, small_b) == 200.0
+
+
+def test_bloom_fill_ratio_cardinality():
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    import numpy as np
+    sk = BloomSketch(BloomParams(n=50_000, p=0.01))
+    state = sk.empty()
+    keys = np.arange(40_000, dtype=np.int32)
+    sk.update_i32(state, keys)
+    est = sk.estimate_cardinality(state)
+    assert abs(est - 40_000) / 40_000 < 0.02
+    # union-composability: estimate over an OR-merge of halves is identical
+    a, b = sk.empty(), sk.empty()
+    sk.update_i32(a, keys[:20_000])
+    sk.update_i32(b, keys[20_000:])
+    assert sk.estimate_cardinality(sk.merge(a, b)) == est
+    assert sk.estimate_cardinality(sk.empty()) == 0.0
