@@ -40,6 +40,7 @@ fx = ensure_fixtures(sf_name_of_dir({sf_dir!r}))
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 tokens = spark.read.parquet(f"{{fx}}/tokens.parquet")
 n_tokens = tokens.select(F.sum("n_tok")).collect()[0][0]  # warm scan/JIT
+tokens.select(F.sum(F.size("tokens"))).collect()  # page-cache the tokens column
 sketch = BloomSketch(BloomParams(n=65_536, p=0.01))
 # warm Python workers (fork + imports) + page cache; steady-state best-of-N
 # (the sandbox host has noisy neighbors; headline-pair levels repeat more)
