@@ -112,15 +112,29 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         if c == key:
             raise ValueError("right_cols must not include the join key")
     out_ts = f"{right_ts}_matched"
+    reserved = {"_k", "_t", "_side", "_tie"}
+    clashes = ((set(left.columns) & (set(right_cols) | {out_ts} | reserved))
+               | (set(right.columns) & reserved))
+    if clashes:
+        raise ValueError(f"alias colliding columns before asof_join: "
+                         f"{sorted(clashes)}")
+    if tie_col is not None:
+        # order ties in the column's NATIVE type — casting a string id to
+        # long would null every tie and make the winner partition-order
+        # dependent; the left side's null _tie must union-match that type
+        tie = F.col(tie_col)
+        tie_type = right.schema[tie_col].dataType
+    else:
+        tie = F.monotonically_increasing_id()
+        from pyspark.sql.types import LongType
+        tie_type = LongType()
     l = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_tie"),
+        F.lit(1).alias("_side"), F.lit(None).cast(tie_type).alias("_tie"),
         "*")
-    tie = (F.col(tie_col) if tie_col is not None
-           else F.monotonically_increasing_id())
     r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"), tie.cast("long").alias("_tie"),
+        F.lit(0).alias("_side"), tie.alias("_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias(f"_r_{out_ts}"))
     both = l.unionByName(r, allowMissingColumns=True)
@@ -166,12 +180,18 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
     dup = (set(points.columns) & set(intervals.columns)) - {key}
     if dup:
         raise ValueError(f"alias colliding columns before range_join: {dup}")
-    b = F.lit(int(bucket))
+    bi = int(bucket)
+
+    def floordiv(col: str):
+        # all-integer floor division: float `/` would round int64 epochs
+        # beyond 2^53 (epoch nanos) and could mis-bucket edge points.
+        # pmod ≥ 0 makes the numerator exactly divisible, so truncating
+        # `div` equals floor for negatives too.
+        return F.expr(f"(`{col}` - pmod(`{col}`, {bi})) div {bi}")
+
     iv = intervals.withColumn(
-        "_bk", F.explode(F.sequence(
-            F.floor(F.col(start_ts) / b).cast("long"),
-            F.floor(F.col(end_ts) / b).cast("long"))))
-    pt = points.withColumn("_bk", F.floor(F.col(point_ts) / b).cast("long"))
+        "_bk", F.explode(F.sequence(floordiv(start_ts), floordiv(end_ts))))
+    pt = points.withColumn("_bk", floordiv(point_ts))
     return (pt.join(iv, [key, "_bk"], "inner")
             .where(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
             .drop("_bk"))

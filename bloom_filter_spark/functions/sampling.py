@@ -36,7 +36,7 @@ def weighted_logkeys_np(ids: np.ndarray, weights: np.ndarray,
     h = hashing.hash64_i64(np.asarray(ids, np.int64), seed)
     u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * _SCALE
     w = np.asarray(weights, np.float64)
-    if (w <= 0).any():
+    if not (w > 0).all():  # rejects 0, negatives AND NaN (NaN > 0 is False)
         raise ValueError("A-ES weights must be strictly positive")
     return np.log(u) / w
 
@@ -53,9 +53,11 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     id/weight columns, never the payload, then the draw is exactly the
     distinct-id draw.
     """
-    sel = (df.where(F.col(weight_col) > 0)
-           .select(F.col(id_col).cast("long").alias("id"),
-                   F.col(weight_col).cast("double").alias("weight")))
+    sel = (df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(weight_col).cast("double").alias("weight"))
+           # NB Spark orders NaN ABOVE all numerics, so `weight > 0` alone
+           # would pass NaN weights straight into the top of the sample
+           .where(F.col("weight") > 0).where(~F.isnan("weight")))
     if dedup:
         sel = sel.groupBy("id").agg(F.max("weight").alias("weight"))
 
@@ -83,10 +85,13 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
     replaces the global top-k, so the only exchange is the window's
     hash-partition on ``group_col`` over (id, group, weight) rows — payload
     columns never move, and no per-group state touches the driver."""
-    sel = (df.where(F.col(weight_col) > 0)
-           .select(F.col(id_col).cast("long").alias("id"),
-                   F.col(group_col).alias("grp"),
-                   F.col(weight_col).cast("double").alias("weight")))
+    sel = (df.select(F.col(id_col).cast("long").alias("id"),
+                     # grp crosses the Arrow boundary as string (the
+                     # build_grouped convention); non-string group columns
+                     # come back stringified
+                     F.col(group_col).cast("string").alias("grp"),
+                     F.col(weight_col).cast("double").alias("weight"))
+           .where(F.col("weight") > 0).where(~F.isnan("weight")))
 
     def add_keys(it):
         for pdf in it:

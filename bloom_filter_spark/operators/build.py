@@ -268,8 +268,7 @@ def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
     from .merge import merge_partials_auto
     partials = build_delta_partials(df, sketch, col, sign_col, value_kind,
                                     repartition)
-    return merge_partials_auto(partials, sketch, fanin=fanin,
-                               est_rows=partials.rdd.getNumPartitions())
+    return merge_partials_auto(partials, sketch, fanin=fanin)
 
 
 def _describe_input(df: DataFrame) -> str:

@@ -479,21 +479,21 @@ def q_kll_grouped_quantiles(spark, sf_dir):
     for row in grouped:
         _, state = KLLSketch.deserialize(bytes(row.state))
         ests[row.group] = sk.quantiles(state, QS)
-    aggs = [F.count("*").alias("n")]
+    aggs = []
     for g, est in sorted(ests.items()):
+        cond = F.col("source") == g
+        aggs.append(F.sum(cond.cast("long")).alias(f"n_{g}"))
         for i, e in enumerate(est):
-            cond = F.col("source") == g
             aggs.append(F.sum((cond & (F.col("n_tok") < float(e)))
                               .cast("long")).alias(f"lt_{g}_{i}"))
             aggs.append(F.sum((cond & (F.col("n_tok") <= float(e)))
                               .cast("long")).alias(f"le_{g}_{i}"))
-            aggs.append(F.sum(cond.cast("long")).alias(f"n_{g}_{i}"))
     row = toks.agg(*aggs).collect()[0]
     bound = sk.params.rank_error * 1.5
     out = []
     for g in sorted(ests):
+        n_g = row[f"n_{g}"]
         for i, q in enumerate(QS):
-            n_g = row[f"n_{g}_{i}"]
             lt = row[f"lt_{g}_{i}"] / n_g
             le = row[f"le_{g}_{i}"] / n_g
             out.append((g, float(q), bool(lt - bound <= q <= le + bound)))

@@ -176,7 +176,10 @@ class BloomSketch:
         filter doubles as a distinct counter, and because merge is bitwise
         OR the estimate composes over unions.  Saturated filter → inf."""
         p = self.params
-        x = int(np.unpackbits(state[: p.m >> 6].view(np.uint8)).sum())
+        # count bits [0, m) from the little-endian words — a whole-word
+        # slice (m >> 6 words) would be empty for sub-word filters (m < 64)
+        bits = np.unpackbits(state.view(np.uint8), bitorder="little")
+        x = int(bits[: p.m].sum())
         if x >= p.m:
             return float("inf")
         return -(p.m / p.k) * math.log1p(-x / p.m)

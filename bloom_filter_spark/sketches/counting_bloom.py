@@ -131,12 +131,14 @@ class CountingBloomSketch:
         return np.maximum(self._min_counter(state, self._hash(values, "i32")), 0)
 
     # -- checked delete (cuckoo contract: remove ONE copy if present) ------
+    # NB the presence check guards against deleting keys whose counters are
+    # already exhausted; it can NOT protect against deleting a key that was
+    # never inserted but false-positives (its decrements then corrupt other
+    # keys' cells — the classic counting-filter caveat, identical for
+    # sequential deletes and for the cuckoo filter's fingerprint deletes).
+    # The delete-≤-insert-per-key discipline remains the caller's contract.
     def _delete_hashes(self, state, h: np.ndarray) -> np.ndarray:
-        idx = self._indices(h)
-        acc = state[idx[0]]
-        for i in range(1, idx.shape[0]):
-            np.minimum(acc, state[idx[i]], out=acc)
-        present = acc >= 1
+        present = self._min_counter(state, h) >= 1
         # Within-batch duplicate deletes of a key present once both pass the
         # batch-start check; the second decrement would underflow.  Decrement
         # sequentially per distinct key copy instead: cap each distinct

@@ -129,3 +129,69 @@ def test_near_dup_clusters_releases_checkpoint_blocks(spark):
     # rounds ran (>=6 for a 41-chain with doubling) yet storage grew by at
     # most the single returned localCheckpoint
     assert after - before <= 1, (before, after)
+
+
+# ---- round-3 continuation review findings --------------------------------
+def test_weighted_sample_nan_weights_rejected_and_filtered(spark):
+    from bloom_filter_spark.functions import sampling
+    with pytest.raises(ValueError, match="strictly positive"):
+        sampling.weighted_logkeys_np(np.arange(2),
+                                     np.array([1.0, np.nan]), 42)
+    # plan-side: NaN-weight rows are dropped, not sorted to the top
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 1.0)], "id long, w double")
+    got = {r.id for r in sampling.weighted_sample_topk(df, "id", "w", k=3).collect()}
+    assert got == {1, 3}
+
+
+def test_weighted_sample_per_group_int_group_column(spark):
+    from bloom_filter_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i % 5 + 1)) for i in range(60)],
+        "id long, g long, w double")
+    got = sampling.weighted_sample_per_group(df, "id", "w", "g", k=4).collect()
+    assert len(got) == 12  # 3 groups × 4 (group col stringified)
+    assert {r.g for r in got} == {"0", "1", "2"}
+
+
+def test_bloom_cardinality_subword_filter():
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    sk = BloomSketch(BloomParams(n=4, p=0.1))  # m = 32 < 64
+    state = sk.empty()
+    sk.update_i32(state, np.array([1, 2, 3], np.int32))
+    est = sk.estimate_cardinality(state)
+    assert est > 0  # the whole-word slice used to return 0.0 here
+    assert abs(est - 3) <= 2
+
+
+def test_asof_join_string_tie_col_orders_natively(spark):
+    from bloom_filter_spark.functions.joins import asof_join
+    ldf = spark.createDataFrame([(1, 100, 0)], "k long, lt long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 50, "ev-2", 1.0), (1, 50, "ev-9", 2.0)],
+        "k long, rt long, rid string, v double")
+    rows = asof_join(ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+                     right_cols=["rid", "v"], tie_col="rid").collect()
+    assert rows[0].rid == "ev-9"  # largest native string tie wins
+
+
+def test_asof_join_rejects_colliding_left_columns(spark):
+    from bloom_filter_spark.functions.joins import asof_join
+    ldf = spark.createDataFrame([(1, 100, 5.0)], "k long, lt long, v double")
+    rdf = spark.createDataFrame([(1, 50, 1.0)], "k long, rt long, v double")
+    with pytest.raises(ValueError, match="alias colliding"):
+        asof_join(ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+                  right_cols=["v"])
+
+
+def test_range_join_exact_bucketing_beyond_2_53(spark):
+    """Epoch-nano-scale int64s: float division rounds above 2^53; the
+    all-integer floordiv must keep bucket-edge points joinable."""
+    from bloom_filter_spark.functions.joins import range_join
+    base = (1 << 60) + 1  # not representable in float64
+    pts = spark.createDataFrame([(1, 0, base)], "k long, pid long, pt long")
+    ivs = spark.createDataFrame([(1, 9, base, base + 10)],
+                                "k long, iid long, lo long, hi long")
+    got = range_join(pts, ivs, key="k", point_ts="pt", start_ts="lo",
+                     end_ts="hi", bucket=1000).collect()
+    assert [(r.pid, r.iid) for r in got] == [(0, 9)]
