@@ -542,6 +542,49 @@ def q_streaming_bloom(spark, sf_dir):
         "epochs bigint, streaming_equals_batch boolean")
 
 
+def q_streaming_cbloom_retractions(spark, sf_dir):
+    """Streaming membership with RETRACTIONS: a 4-file changelog stream
+    (two insert files covering every doc_id, then two delete files
+    retracting the odd-parity half) folded per micro-batch with
+    build_delta_sketch into a counting-bloom state.  Because the counter-SUM
+    merge is commutative, the final state equals the one-shot batch fold
+    BIT-FOR-BIT regardless of file pickup order — checked, along with the
+    delete-probe invariants (kept keys all present, no counter negative)."""
+    import tempfile
+
+    from ..operators import build_delta_sketch
+    from ..sketches import CountingBloomSketch
+    from ..streaming import streaming_delta_build
+    toks = _tokens(spark, sf_dir)
+    n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
+    cb = CountingBloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P))
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    docs = toks.select("doc_id", parity)
+    src = tempfile.mkdtemp(prefix="bfs_changelog_")
+    (docs.select("doc_id", F.lit(1).alias("sign"))
+     .repartition(2).write.mode("overwrite").parquet(src))
+    (docs.where(F.col("par") == 1)
+     .select("doc_id", F.lit(-1).alias("sign"))
+     .repartition(2).write.mode("append").parquet(src))
+    changelog = spark.read.parquet(src)
+    acc = streaming_delta_build(spark, src, changelog.schema, cb,
+                                "doc_id", "sign", "str")
+    batch_blob, _ = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
+    equals_batch = acc.blob() == batch_blob
+    _, state = CountingBloomSketch.deserialize(acc.blob())
+    non_negative = bool((state >= 0).all())
+    probe = membership_udf(spark, acc.blob(), "cbloom", "str")
+    agg = docs.agg(
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when((F.col("par") == 0) & ~probe(F.col("doc_id")), 1)
+              .otherwise(0)).alias("kept_missing")).collect()[0]
+    return spark.createDataFrame(
+        [(int(acc.epochs), bool(equals_batch), int(agg.n_kept),
+          bool(agg.kept_missing == 0), non_negative)],
+        "epochs bigint, streaming_equals_batch boolean, n_kept bigint, "
+        "kept_all_present boolean, no_negative_counters boolean")
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra–Gries top-k: every exact top-20 token must be tracked, with an
     underestimate within the sketch's accumulated decrement offset (≤
@@ -670,6 +713,7 @@ SKETCH_QUERIES = {
     "streaming_bloom_equals_batch": q_streaming_bloom,
     "tdigest_rank_probe": q_tdigest_rank_probe,
     "streaming_stateful_sources": q_streaming_stateful_sources,
+    "streaming_cbloom_retractions": q_streaming_cbloom_retractions,
     "mg_heavy_hitters": q_mg_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
 }
@@ -775,6 +819,15 @@ def sketch_oracles() -> dict[str, str]:
         """,
         "streaming_bloom_equals_batch":
             "SELECT CAST(4 AS BIGINT) AS epochs, TRUE AS streaming_equals_batch",
+        "streaming_cbloom_retractions": f"""
+            SELECT CAST(4 AS BIGINT) AS epochs,
+                   TRUE AS streaming_equals_batch,
+                   CAST(sum(CASE WHEN ascii(right(doc_id, 1)) % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   TRUE AS kept_all_present,
+                   TRUE AS no_negative_counters
+            FROM {tok}
+        """,
         "tdigest_rank_probe": f"""
             SELECT count(DISTINCT n_tok) AS n_probed,
                    count(DISTINCT n_tok) AS n_within FROM {tok}

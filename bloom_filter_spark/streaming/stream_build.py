@@ -67,6 +67,48 @@ def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
     return acc
 
 
+class StreamingDeltaAccumulator(StreamingSketchAccumulator):
+    """Changelog-stream fold: each micro-batch carries (key, ±1) rows —
+    inserts AND retractions — folded with build_delta_sketch (no local
+    presence check) and counter-SUM merged into the running state.  Because
+    the merge is commutative, the final state is independent of file pickup
+    order and equals the one-shot batch fold bit-for-bit — streaming
+    membership state with deletes, maintained incrementally."""
+
+    def __init__(self, sketch, col: str, sign_col: str, value_kind: str):
+        super().__init__(sketch, col, value_kind)
+        self.sign_col = sign_col
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators import build_delta_sketch
+        blob, n = build_delta_sketch(batch_df, self.sketch, self.col,
+                                     self.sign_col, self.value_kind)
+        _, st = type(self.sketch).deserialize(blob)
+        self.state = self.sketch.merge(self.state, st)
+        self.n_items += n
+        self.epochs += 1
+
+
+def streaming_delta_build(spark: SparkSession, source_dir: str, schema,
+                          sketch, col: str, sign_col: str,
+                          value_kind: str = "str",
+                          max_files_per_trigger: int = 1):
+    """Run a changelog file stream to completion (see
+    StreamingDeltaAccumulator)."""
+    acc = StreamingDeltaAccumulator(sketch, col, sign_col, value_kind)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    q = (stream.writeStream.outputMode("update")
+         .foreachBatch(acc)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return acc
+
+
 def windowed_event_counts(spark: SparkSession, source_dir: str, schema,
                           window: str = "1 hour", watermark: str = "2 hours",
                           ts_col: str = "ts") -> DataFrame:

@@ -102,3 +102,37 @@ def test_stateful_running_source_sketches(spark, multi_file_tokens):
     for s, row in got.items():
         assert row.n_docs == docs[s]
         assert abs(row.distinct_estimate - exact[s].d) <= 5 * (1.04 / 2**6) * exact[s].d
+
+
+def test_streaming_changelog_retractions_equals_batch(spark, tmp_path):
+    """Changelog stream (inserts then retraction files) folds to the same
+    counting-bloom state as the one-shot batch fold, and retracted keys
+    drop out while kept keys stay member."""
+    from pyspark.sql import functions as F
+
+    from bloom_filter_spark.operators import build_delta_sketch
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+    from bloom_filter_spark.streaming import streaming_delta_build
+
+    cb = CountingBloomSketch(BloomParams(n=2000, p=0.01))
+    ids = spark.range(1000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 2 == 1).alias("odd"))
+    src = str(tmp_path / "changelog")
+    (ids.select("doc_id", F.lit(1).alias("sign"))
+     .repartition(2).write.mode("overwrite").parquet(src))
+    (ids.where("odd").select("doc_id", F.lit(-1).alias("sign"))
+     .repartition(1).write.mode("append").parquet(src))
+    changelog = spark.read.parquet(src)
+    acc = streaming_delta_build(spark, src, changelog.schema, cb,
+                                "doc_id", "sign", "str")
+    batch_blob, _ = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
+    assert acc.blob() == batch_blob  # commutative fold: order-independent
+    assert acc.epochs == 3
+    cb2, state = CountingBloomSketch.deserialize(acc.blob())
+    kept = [r.doc_id for r in ids.where("NOT odd").collect()]
+    gone = [r.doc_id for r in ids.where("odd").collect()]
+    import numpy as np
+    assert (state >= 0).all()
+    assert cb2.contains_str(state, kept).all()
+    assert cb2.contains_str(state, gone).mean() <= 0.05
