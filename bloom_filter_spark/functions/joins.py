@@ -70,8 +70,12 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int,
 
 def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
     """Range-repartition on sketched equi-depth boundaries: balanced
-    partitions even for heavily skewed columns (each partition receives
-    ~1/n of the rows by construction)."""
+    BUCKETS even for heavily skewed columns (each bucket receives ~1/n of
+    the rows by construction).  Physical bucket→partition placement goes
+    through repartitionByRange, whose boundary SAMPLING can occasionally
+    merge two adjacent single-value buckets into one partition and leave
+    another empty — the bucket histogram, not the partition row-count, is
+    the operator's guarantee."""
     bounds = quantile_buckets(df, col, n_buckets)
     c = F.col(col).cast("double")
     # bucket id = number of boundaries exceeded (monotone boundaries);

@@ -421,6 +421,49 @@ def q_events_asof_attribution(spark, sf_dir):
                      tie_col="click_id")
 
 
+QPART_BUCKETS = 16
+
+
+def q_quantile_partitioning(spark, sf_dir):
+    """Equi-depth range partitioning from a distributed t-digest
+    (functions/joins.py::repartition_by_quantiles) over the skewed
+    l_extendedprice column: every BUCKET must receive ≈ 1/n of the rows
+    (checked at 2× the ideal share — sketch quantile error + boundary
+    point masses), and the physical plan must carry a RangePartitioning
+    exchange.  The scalable answer to range-bucketing a skewed column: one
+    sketch pass + repartitionByRange on computed boundaries, never a
+    global sort of the data."""
+    from ..functions.joins import quantile_buckets, repartition_by_quantiles
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # the equi-depth guarantee lives in the BUCKET histogram (deterministic
+    # given the sketch); physical placement is the range exchange's job —
+    # Spark's boundary sampling may merge two single-value buckets into one
+    # partition, so partition row-counts are NOT the invariant to pin.
+    bounds = quantile_buckets(li, "l_extendedprice", QPART_BUCKETS)
+    c = F.col("l_extendedprice").cast("double")
+    bucket = sum((c > F.lit(b)).cast("int") for b in bounds)
+    counts = [int(r.n) for r in
+              (li.select(bucket.alias("b")).groupBy("b")
+               .agg(F.count("*").alias("n"))).collect()]
+    total = sum(counts)
+    plan = (repartition_by_quantiles(li, "l_extendedprice", QPART_BUCKETS)
+            ._jdf.queryExecution().executedPlan().toString())
+    ok = (len(counts) == QPART_BUCKETS
+          and max(counts) / total <= 2.0 / QPART_BUCKETS
+          and "rangepartitioning" in plan.lower())
+    return spark.createDataFrame(
+        [(int(total), QPART_BUCKETS, bool(ok))],
+        "total_rows bigint, n_buckets bigint, balanced_within_2x boolean")
+
+
+_QPART_SQL = f"""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST({QPART_BUCKETS} AS BIGINT) AS n_buckets,
+           TRUE AS balanced_within_2x
+    FROM lineitem
+"""
+
+
 ERR_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -532,6 +575,7 @@ PIPELINE_QUERIES = {
     "weighted_sample_per_source": q_weighted_sample_per_source,
     "events_asof_attribution": q_events_asof_attribution,
     "events_range_join": q_events_range_join,
+    "quantile_range_partitioning": q_quantile_partitioning,
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
@@ -926,6 +970,7 @@ def pipeline_oracles() -> dict[str, str]:
         """,
         "events_asof_attribution": _ASOF_SQL,
         "events_range_join": _RANGE_SQL,
+        "quantile_range_partitioning": _QPART_SQL,
         # ANN recall paths: the Spark side measures recall vs brute force
         # genuinely (fixed seeds → deterministic) and asserts it against
         # ANN_RECALL_BOUNDS (0.60/0.50, 0.10 under the measured 0.70/0.60);
