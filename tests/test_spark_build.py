@@ -273,3 +273,28 @@ def test_counting_bloom_changelog_fold(spark, tokens_df):
     assert cb2.contains_str(state, kept).all()  # zero FN on survivors
     assert cb2.contains_str(state, dele).mean() <= 0.05
     assert n == len(kept) + 2 * len(dele)
+
+
+def test_changelog_checkpoint_resume(spark, tokens_df, tmp_path):
+    """Changelog (±1) partials persist through the checkpoint table and
+    resume to the SAME state bit-for-bit — resumable distributed deletes."""
+    from bloom_filter_spark.operators import (SketchCheckpoint,
+                                              build_delta_partials,
+                                              build_delta_sketch)
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    cb = CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+    docs = tokens_df.select("doc_id")
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    with_par = docs.select("doc_id", parity)
+    changelog = (with_par.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(with_par.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign"))))
+    direct_blob, _ = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
+
+    ck = SketchCheckpoint(str(tmp_path / "ckpt"))
+    partials = build_delta_partials(changelog, cb, "doc_id", "sign", "str")
+    persisted = ck.write_partials("cbloom_log", cb, partials)
+    persisted.collect()  # materialize the checkpointed rows
+    blob, _n = ck.resume(spark, "cbloom_log", cb)
+    assert blob == direct_blob  # resume-from-checkpoint ≡ direct fold
