@@ -298,3 +298,33 @@ def test_changelog_checkpoint_resume(spark, tokens_df, tmp_path):
     persisted.collect()  # materialize the checkpointed rows
     blob, _n = ck.resume(spark, "cbloom_log", cb)
     assert blob == direct_blob  # resume-from-checkpoint ≡ direct fold
+
+
+def test_bucketed_tables_join_without_exchange(spark, tokens_df, tmp_path):
+    """Co-located join via bucketing: two tables bucketed by the join key
+    into the same bucket count sort-merge-join with NO Exchange on either
+    side — the pre-shuffle trade a 100 TB deployment makes once at write
+    time and amortizes over every subsequent join."""
+    import uuid
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at test scale the planner would broadcast (and skip bucketing); the
+    # 100 TB regime this demonstrates is the non-broadcastable SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a, b = f"docs_a_{uuid.uuid4().hex[:8]}", f"docs_b_{uuid.uuid4().hex[:8]}"
+    left = tokens_df.select("doc_id", "n_tok")
+    right = tokens_df.select("doc_id", "source")
+    (left.write.bucketBy(8, "doc_id").sortBy("doc_id")
+     .mode("overwrite").saveAsTable(a))
+    (right.write.bucketBy(8, "doc_id").sortBy("doc_id")
+     .mode("overwrite").saveAsTable(b))
+    try:
+        joined = spark.table(a).join(spark.table(b), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed: no shuffle
+        assert joined.count() == tokens_df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
