@@ -68,21 +68,28 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int,
     return [float(x) for x in sketch.quantiles(state, qs)]
 
 
-def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
+def bucket_expr(col: str, bounds: list[float]):
+    """Bucket id for ``col`` against monotone boundaries = number of
+    boundaries exceeded (0 .. len(bounds))."""
+    c = F.col(col).cast("double")
+    return sum((c > F.lit(b)).cast("int") for b in bounds)
+
+
+def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int,
+                             bounds: list[float] | None = None) -> DataFrame:
     """Range-repartition on sketched equi-depth boundaries: balanced
     BUCKETS even for heavily skewed columns (each bucket receives ~1/n of
     the rows by construction).  Physical bucket→partition placement goes
     through repartitionByRange, whose boundary SAMPLING can occasionally
     merge two adjacent single-value buckets into one partition and leave
     another empty — the bucket histogram, not the partition row-count, is
-    the operator's guarantee."""
-    bounds = quantile_buckets(df, col, n_buckets)
-    c = F.col(col).cast("double")
-    # bucket id = number of boundaries exceeded (monotone boundaries);
-    # RANGE-partition the id so bucket i lands in partition i — hash
+    the operator's guarantee.  Pass precomputed ``bounds`` to skip the
+    sketch pass (callers that already ran quantile_buckets)."""
+    if bounds is None:
+        bounds = quantile_buckets(df, col, n_buckets)
+    # RANGE-partition the bucket id so bucket i lands in partition i — hash
     # partitioning would collide distinct buckets into shared partitions
-    bucket = sum((c > F.lit(b)).cast("int") for b in bounds)
-    return (df.withColumn("__bucket", bucket)
+    return (df.withColumn("__bucket", bucket_expr(col, bounds))
             .repartitionByRange(n_buckets, "__bucket")
             .drop("__bucket"))
 

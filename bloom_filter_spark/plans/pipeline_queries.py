@@ -399,13 +399,13 @@ def q_shipdate_rollup(spark, sf_dir):
     return relational.lineitem_shipdate_rollup(spark, sf_dir)
 
 
-def q_events_asof_attribution(spark, sf_dir):
-    """Backward as-of join (functions/joins.py::asof_join): each purchase
-    attributed to the user's latest click at-or-before it — one shuffle on
-    user_id, running-last window, no inequality join explosion.  Oracle:
-    DuckDB's native ASOF LEFT JOIN.  Timestamps hop to epoch micros on both
-    sides (NTZ-safe)."""
-    from ..functions.joins import asof_join
+ERR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def event_projections(spark, sf_dir):
+    """(purchases, clicks, errors) projections over the events table with
+    epoch-micro timestamps (NTZ-safe hop) — the shared input shape for the
+    temporal-join queries, bench.py and tools/dump_plans.py."""
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
     purch = (ev.where(F.col("event_type") == "purchase")
@@ -415,6 +415,22 @@ def q_events_asof_attribution(spark, sf_dir):
               .select("user_id", "ts_us",
                       F.col("event_id").alias("click_id"),
                       F.col("value").alias("click_value")))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("error_id"),
+                      F.col("ts_us").alias("err_start"),
+                      (F.col("ts_us") + F.lit(ERR_WINDOW_US))
+                      .alias("err_end")))
+    return purch, clicks, errors
+
+
+def q_events_asof_attribution(spark, sf_dir):
+    """Backward as-of join (functions/joins.py::asof_join): each purchase
+    attributed to the user's latest click at-or-before it — one shuffle on
+    user_id, running-last window, no inequality join explosion.  Oracle:
+    DuckDB's native ASOF LEFT JOIN.  Timestamps hop to epoch micros on both
+    sides (NTZ-safe)."""
+    from ..functions.joins import asof_join
+    purch, clicks, _ = event_projections(spark, sf_dir)
     return asof_join(purch, clicks, key="user_id",
                      left_ts="purchase_ts", right_ts="ts_us",
                      right_cols=["click_id", "click_value"],
@@ -433,20 +449,20 @@ def q_quantile_partitioning(spark, sf_dir):
     exchange.  The scalable answer to range-bucketing a skewed column: one
     sketch pass + repartitionByRange on computed boundaries, never a
     global sort of the data."""
-    from ..functions.joins import quantile_buckets, repartition_by_quantiles
+    from ..functions.joins import (bucket_expr, quantile_buckets,
+                                   repartition_by_quantiles)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # the equi-depth guarantee lives in the BUCKET histogram (deterministic
     # given the sketch); physical placement is the range exchange's job —
     # Spark's boundary sampling may merge two single-value buckets into one
     # partition, so partition row-counts are NOT the invariant to pin.
     bounds = quantile_buckets(li, "l_extendedprice", QPART_BUCKETS)
-    c = F.col("l_extendedprice").cast("double")
-    bucket = sum((c > F.lit(b)).cast("int") for b in bounds)
     counts = [int(r.n) for r in
-              (li.select(bucket.alias("b")).groupBy("b")
-               .agg(F.count("*").alias("n"))).collect()]
+              (li.select(bucket_expr("l_extendedprice", bounds).alias("b"))
+               .groupBy("b").agg(F.count("*").alias("n"))).collect()]
     total = sum(counts)
-    plan = (repartition_by_quantiles(li, "l_extendedprice", QPART_BUCKETS)
+    plan = (repartition_by_quantiles(li, "l_extendedprice", QPART_BUCKETS,
+                                     bounds=bounds)
             ._jdf.queryExecution().executedPlan().toString())
     ok = (len(counts) == QPART_BUCKETS
           and max(counts) / total <= 2.0 / QPART_BUCKETS
@@ -464,25 +480,15 @@ _QPART_SQL = f"""
 """
 
 
-ERR_WINDOW_US = 3_600_000_000  # 1 hour
-
-
 def q_events_range_join(spark, sf_dir):
     """Range join (functions/joins.py::range_join): every click inside a
     user's one-hour post-error window — bounded bucket explode + equi-join
     on (user_id, bucket), never an inequality/nested-loop plan.  Oracle:
     the naive SQL BETWEEN join."""
     from ..functions.joins import range_join
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
-    clicks = (ev.where(F.col("event_type") == "click")
-              .select("user_id", F.col("event_id").alias("click_id"),
-                      F.col("ts_us").alias("click_ts")))
-    errors = (ev.where(F.col("event_type") == "error")
-              .select("user_id", F.col("event_id").alias("error_id"),
-                      F.col("ts_us").alias("err_start"),
-                      (F.col("ts_us") + F.lit(ERR_WINDOW_US))
-                      .alias("err_end")))
+    _, clicks_full, errors = event_projections(spark, sf_dir)
+    clicks = clicks_full.select("user_id", "click_id",
+                                F.col("ts_us").alias("click_ts"))
     out = range_join(clicks, errors, key="user_id", point_ts="click_ts",
                      start_ts="err_start", end_ts="err_end",
                      bucket=ERR_WINDOW_US)

@@ -250,6 +250,24 @@ def q_cuckoo_delete_probe(spark, sf_dir):
         "all_deletes_found boolean, deleted_fp_bounded boolean")
 
 
+def _parity_changelog(spark, sf_dir):
+    """Shared by the counting-bloom delete queries: (docs-with-parity, ±1
+    changelog, sized sketch).  Every doc_id inserted (+1), the odd-parity
+    half deleted (−1); parity = last character's ascii % 2, so the DuckDB
+    twin is ascii(right(doc_id, 1)) % 2 — one expression, three call sites
+    (batch query, streaming query, oracle) that must stay in lockstep."""
+    from ..sketches import CountingBloomSketch
+    toks = _tokens(spark, sf_dir)
+    n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
+    cb = CountingBloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P))
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    docs = toks.select("doc_id", parity)
+    changelog = (docs.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(docs.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign"))))
+    return docs, changelog, cb
+
+
 def q_cbloom_delete_probe(spark, sf_dir):
     """Counting Bloom filter (Fan, Cao, Almeida & Broder 2000) with
     *distributed* deletes, expressed as a changelog fold: every doc_id is
@@ -266,14 +284,7 @@ def q_cbloom_delete_probe(spark, sf_dir):
     only within the classic filter's bound."""
     from ..operators import build_delta_sketch
     from ..sketches import CountingBloomSketch
-    toks = _tokens(spark, sf_dir)
-    n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
-    cb = CountingBloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P))
-    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
-    docs = toks.select("doc_id", parity)
-    changelog = (docs.select("doc_id", F.lit(1).alias("sign"))
-                 .unionAll(docs.where(F.col("par") == 1)
-                           .select("doc_id", F.lit(-1).alias("sign"))))
+    docs, changelog, cb = _parity_changelog(spark, sf_dir)
     blob, _n = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
     _, state = CountingBloomSketch.deserialize(blob)
     non_negative = bool((state >= 0).all())
@@ -555,11 +566,7 @@ def q_streaming_cbloom_retractions(spark, sf_dir):
     from ..operators import build_delta_sketch
     from ..sketches import CountingBloomSketch
     from ..streaming import streaming_delta_build
-    toks = _tokens(spark, sf_dir)
-    n_docs = rows_for_sf(sf_name_of_dir(sf_dir)) + 16
-    cb = CountingBloomSketch(BloomParams(n=n_docs, p=DOC_BLOOM_P))
-    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
-    docs = toks.select("doc_id", parity)
+    docs, _, cb = _parity_changelog(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="bfs_changelog_")
     (docs.select("doc_id", F.lit(1).alias("sign"))
      .repartition(2).write.mode("overwrite").parquet(src))

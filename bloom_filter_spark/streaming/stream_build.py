@@ -36,10 +36,13 @@ class StreamingSketchAccumulator:
         self.n_items = 0
         self.epochs = 0
 
+    def _build(self, batch_df: DataFrame) -> tuple[bytes, int]:
+        return build_sketch(batch_df, self.sketch, self.col, self.value_kind)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        blob, n = build_sketch(batch_df, self.sketch, self.col, self.value_kind)
+        blob, n = self._build(batch_df)
         _, st = type(self.sketch).deserialize(blob)
         self.state = self.sketch.merge(self.state, st)
         self.n_items += n
@@ -49,13 +52,9 @@ class StreamingSketchAccumulator:
         return self.sketch.serialize(self.state)
 
 
-def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
-                           sketch, col: str, value_kind: str = "i32_array",
-                           max_files_per_trigger: int = 1):
-    """Run a file-source stream to completion, folding per-batch sketches.
-
-    Returns the accumulator (state, n_items, epochs)."""
-    acc = StreamingSketchAccumulator(sketch, col, value_kind)
+def _run_stream_fold(spark: SparkSession, source_dir: str, schema, acc,
+                     max_files_per_trigger: int):
+    """Drive a file-source stream to completion through ``acc``."""
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
@@ -65,6 +64,18 @@ def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
          .start())
     q.awaitTermination()
     return acc
+
+
+def streaming_sketch_build(spark: SparkSession, source_dir: str, schema,
+                           sketch, col: str, value_kind: str = "i32_array",
+                           max_files_per_trigger: int = 1):
+    """Run a file-source stream to completion, folding per-batch sketches.
+
+    Returns the accumulator (state, n_items, epochs)."""
+    return _run_stream_fold(
+        spark, source_dir, schema,
+        StreamingSketchAccumulator(sketch, col, value_kind),
+        max_files_per_trigger)
 
 
 class StreamingDeltaAccumulator(StreamingSketchAccumulator):
@@ -79,16 +90,10 @@ class StreamingDeltaAccumulator(StreamingSketchAccumulator):
         super().__init__(sketch, col, value_kind)
         self.sign_col = sign_col
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _build(self, batch_df: DataFrame) -> tuple[bytes, int]:
         from ..operators import build_delta_sketch
-        blob, n = build_delta_sketch(batch_df, self.sketch, self.col,
-                                     self.sign_col, self.value_kind)
-        _, st = type(self.sketch).deserialize(blob)
-        self.state = self.sketch.merge(self.state, st)
-        self.n_items += n
-        self.epochs += 1
+        return build_delta_sketch(batch_df, self.sketch, self.col,
+                                  self.sign_col, self.value_kind)
 
 
 def streaming_delta_build(spark: SparkSession, source_dir: str, schema,
@@ -97,16 +102,10 @@ def streaming_delta_build(spark: SparkSession, source_dir: str, schema,
                           max_files_per_trigger: int = 1):
     """Run a changelog file stream to completion (see
     StreamingDeltaAccumulator)."""
-    acc = StreamingDeltaAccumulator(sketch, col, sign_col, value_kind)
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(source_dir))
-    q = (stream.writeStream.outputMode("update")
-         .foreachBatch(acc)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return acc
+    return _run_stream_fold(
+        spark, source_dir, schema,
+        StreamingDeltaAccumulator(sketch, col, sign_col, value_kind),
+        max_files_per_trigger)
 
 
 def windowed_event_counts(spark: SparkSession, source_dir: str, schema,

@@ -294,13 +294,13 @@ def test_changelog_checkpoint_resume(spark, tokens_df, tmp_path):
 
     ck = SketchCheckpoint(str(tmp_path / "ckpt"))
     partials = build_delta_partials(changelog, cb, "doc_id", "sign", "str")
-    persisted = ck.write_partials("cbloom_log", cb, partials)
-    persisted.collect()  # materialize the checkpointed rows
+    # write_partials persists eagerly; the returned read-back is unused here
+    ck.write_partials("cbloom_log", cb, partials)
     blob, _n = ck.resume(spark, "cbloom_log", cb)
     assert blob == direct_blob  # resume-from-checkpoint ≡ direct fold
 
 
-def test_bucketed_tables_join_without_exchange(spark, tokens_df, tmp_path):
+def test_bucketed_tables_join_without_exchange(spark, tokens_df):
     """Co-located join via bucketing: two tables bucketed by the join key
     into the same bucket count sort-merge-join with NO Exchange on either
     side — the pre-shuffle trade a 100 TB deployment makes once at write
@@ -308,17 +308,19 @@ def test_bucketed_tables_join_without_exchange(spark, tokens_df, tmp_path):
     import uuid
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    # at test scale the planner would broadcast (and skip bucketing); the
-    # 100 TB regime this demonstrates is the non-broadcastable SMJ
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     a, b = f"docs_a_{uuid.uuid4().hex[:8]}", f"docs_b_{uuid.uuid4().hex[:8]}"
-    left = tokens_df.select("doc_id", "n_tok")
-    right = tokens_df.select("doc_id", "source")
-    (left.write.bucketBy(8, "doc_id").sortBy("doc_id")
-     .mode("overwrite").saveAsTable(a))
-    (right.write.bucketBy(8, "doc_id").sortBy("doc_id")
-     .mode("overwrite").saveAsTable(b))
     try:
+        # at test scale the planner would broadcast (and skip bucketing);
+        # the 100 TB regime this demonstrates is the non-broadcastable SMJ.
+        # conf mutation + writes sit INSIDE try so a failure can't leak the
+        # disabled-broadcast setting into the shared session fixture
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = tokens_df.select("doc_id", "n_tok")
+        right = tokens_df.select("doc_id", "source")
+        (left.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable(a))
+        (right.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable(b))
         joined = spark.table(a).join(spark.table(b), "doc_id")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan

@@ -132,7 +132,6 @@ def test_streaming_changelog_retractions_equals_batch(spark, tmp_path):
     cb2, state = CountingBloomSketch.deserialize(acc.blob())
     kept = [r.doc_id for r in ids.where("NOT odd").collect()]
     gone = [r.doc_id for r in ids.where("odd").collect()]
-    import numpy as np
     assert (state >= 0).all()
     assert cb2.contains_str(state, kept).all()
     assert cb2.contains_str(state, gone).mean() <= 0.05

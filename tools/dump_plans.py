@@ -111,14 +111,9 @@ def main() -> None:
         "optimizer IS the distributed weighted reservoir merge.")
 
     from bloom_filter_spark.functions.joins import asof_join, range_join
-    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet") \
-        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
-    purch = (ev.where(F.col("event_type") == "purchase")
-             .select(F.col("event_id").alias("purchase_id"), "user_id",
-                     F.col("ts_us").alias("purchase_ts")))
-    clicks = (ev.where(F.col("event_type") == "click")
-              .select("user_id", "ts_us", F.col("event_id").alias("click_id"),
-                      F.col("value").alias("click_value")))
+    from bloom_filter_spark.plans.pipeline_queries import (
+        ERR_WINDOW_US, event_projections)
+    purch, clicks, errors = event_projections(spark, "/root/testdata/sf0.1")
     add("Backward as-of join",
         asof_join(purch, clicks, key="user_id", left_ts="purchase_ts",
                   right_ts="ts_us", right_cols=["click_id", "click_value"],
@@ -127,17 +122,12 @@ def main() -> None:
         "ignorenulls): no inequality join, no per-key explosion — both "
         "sides move exactly once.")
 
-    errors = (ev.where(F.col("event_type") == "error")
-              .select("user_id", F.col("event_id").alias("error_id"),
-                      F.col("ts_us").alias("err_start"),
-                      (F.col("ts_us") + F.lit(3_600_000_000))
-                      .alias("err_end")))
     add("Bucketed range join",
         range_join(clicks.select("user_id", "click_id",
                                  F.col("ts_us").alias("click_ts")),
                    errors, key="user_id", point_ts="click_ts",
                    start_ts="err_start", end_ts="err_end",
-                   bucket=3_600_000_000),
+                   bucket=ERR_WINDOW_US),
         "Intervals explode to ≤2 bucket rows; candidates from a plain "
         "(key, bucket) equi-join (SortMergeJoin/BHJ — NEVER "
         "BroadcastNestedLoopJoin); the exact BETWEEN filter runs on "
