@@ -320,6 +320,39 @@ def q_bloom_cardinality(spark, sf_dir):
                                  "exact_distinct bigint, within_bound boolean")
 
 
+def q_bloom_intersection(spark, sf_dir):
+    """Bloom set intersection (bitwise AND of equal-param filters —
+    sketches/bloom.py::intersect): the token vocabularies of two sources
+    ANDed; every token ACTUALLY shared by both sources must probe present
+    (zero FN — each such token set its bits in both filters).  The exact
+    intersection cardinality is the SQL-reproducible part; the membership
+    sweep is the boolean.  Complements KMV's θ-intersection (which
+    estimates |A∩B|; this yields a PROBE-ABLE intersection filter)."""
+    toks = _tokens(spark, sf_dir)
+    params = BloomParams(n=65_536, p=0.01)
+    sides = {}
+    for src in ("src_00", "src_01"):
+        sides[src], _ = build_sketch(
+            toks.where(F.col("source") == src), BloomSketch(params),
+            "tokens", "i32_array")
+    sk = BloomSketch(params)
+    _, a = BloomSketch.deserialize(sides["src_00"])
+    _, b = BloomSketch.deserialize(sides["src_01"])
+    blob_and = sk.serialize(sk.intersect(a, b))
+    probe = membership_udf(spark, blob_and, "bloom", "i32")
+    per_src = (toks.where(F.col("source").isin("src_00", "src_01"))
+               .select("source", F.explode("tokens").alias("t")).distinct())
+    inter = (per_src.groupBy("t").agg(F.count("*").alias("ns"))
+             .where(F.col("ns") == 2).select("t"))
+    agg = inter.agg(
+        F.count("*").alias("n_inter"),
+        F.coalesce(F.sum((~probe(F.col("t"))).cast("long")),
+                   F.lit(0)).alias("missing")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg.n_inter), bool(agg.missing == 0))],
+        "n_intersection bigint, all_present boolean")
+
+
 # --------------------------------------------------------------------------
 # HLL distinct counts
 # --------------------------------------------------------------------------
@@ -706,6 +739,7 @@ SKETCH_QUERIES = {
     "cuckoo_delete_probe": q_cuckoo_delete_probe,
     "cbloom_delete_probe": q_cbloom_delete_probe,
     "bloom_cardinality_estimate": q_bloom_cardinality,
+    "bloom_token_intersection": q_bloom_intersection,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "hll_distinct_per_source": q_hll_distinct_per_source,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -774,6 +808,15 @@ def sketch_oracles() -> dict[str, str]:
         "bloom_cardinality_estimate": f"""
             SELECT count(DISTINCT t) AS exact_distinct, TRUE AS within_bound
             FROM (SELECT unnest(tokens) AS t FROM {tok})
+        """,
+        "bloom_token_intersection": f"""
+            WITH t AS (SELECT DISTINCT source, unnest(tokens) AS tok
+                       FROM {tok} WHERE source IN ('src_00', 'src_01'))
+            SELECT CAST(count(*) AS BIGINT) AS n_intersection,
+                   TRUE AS all_present
+            FROM (SELECT tok FROM t WHERE source = 'src_00'
+                  INTERSECT
+                  SELECT tok FROM t WHERE source = 'src_01')
         """,
         "hll_distinct_per_source": f"""
             SELECT source, count(DISTINCT t) AS exact_distinct, TRUE AS within_bound

@@ -170,6 +170,15 @@ class BloomSketch:
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.bitwise_or(a, b)
 
+    def intersect(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Approximate set intersection: bitwise AND of two filters with
+        identical (m, k, seed).  Every key of the TRUE intersection has all
+        its bits set in both filters, so membership keeps zero false
+        negatives; keys of only one side false-positive at ≈ the other
+        side's fill rate (the AND filter is a subset of both inputs'
+        member sets).  Associative and commutative like merge."""
+        return np.bitwise_and(a, b)
+
     # -- cardinality (Swamidass & Baldi 2007) ------------------------------
     def estimate_cardinality(self, state: np.ndarray) -> float:
         """n̂ = -(m/k)·ln(1 − X/m) from the fill ratio (X = set bits): the

@@ -149,3 +149,26 @@ def test_large_m_fallback_path():
     sk.update_i32(state, vals)
     assert sk.contains_i32(state, vals).all()
     assert sk.contains_i32(state, np.arange(60_000, 80_000, dtype=np.int32)).mean() <= 0.01
+
+
+def test_bloom_intersect_zero_fn_and_subset():
+    """AND-intersection: every true-intersection key stays member; the AND
+    filter's member set is a subset of both inputs'."""
+    import numpy as np
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+    sk = BloomSketch(BloomParams(n=10_000, p=0.01))
+    a_keys = np.arange(0, 8000, dtype=np.int32)
+    b_keys = np.arange(5000, 13000, dtype=np.int32)
+    a, b = sk.empty(), sk.empty()
+    sk.update_i32(a, a_keys)
+    sk.update_i32(b, b_keys)
+    both = sk.intersect(a, b)
+    inter = np.arange(5000, 8000, dtype=np.int32)
+    assert sk.contains_i32(both, inter).all()  # zero FN on the intersection
+    probe = np.arange(0, 20000, dtype=np.int32)
+    m_and = sk.contains_i32(both, probe)
+    assert (m_and <= sk.contains_i32(a, probe)).all()  # subset of A's members
+    assert (m_and <= sk.contains_i32(b, probe)).all()  # subset of B's members
+    # exclusive keys false-positive only at a bounded rate
+    excl = np.arange(0, 5000, dtype=np.int32)
+    assert sk.contains_i32(both, excl).mean() <= 0.05
