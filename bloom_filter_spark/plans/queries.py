@@ -646,6 +646,35 @@ def q_mg_heavy_hitters(spark, sf_dir):
         out, "token int, exact_cnt bigint, mg_ok boolean")
 
 
+def q_mg_grouped_heavy_hitters(spark, sf_dir):
+    """Per-source Misra–Gries through the grouped mergeable build (map-side
+    combine): each source's exact top-5 tokens must be tracked by that
+    source's sketch with estimates in the MG bracket (est ≤ exact ≤
+    est + per-group decrement offset).  The exact top-5 per source is the
+    SQL-reproducible part; the bracket is the boolean."""
+    from ..sketches import MGParams, MGSketch
+    toks = _tokens(spark, sf_dir)
+    sk = MGSketch(MGParams(k=1024))
+    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array").collect()
+    states = {row.group: MGSketch.deserialize(bytes(row.state))[1]
+              for row in grouped}
+    win = Window.partitionBy("source").orderBy(
+        F.desc("exact_cnt"), F.asc("token"))
+    top = (toks.select("source", F.explode("tokens").alias("token"))
+           .groupBy("source", "token").agg(F.count("*").alias("exact_cnt"))
+           .withColumn("rk", F.row_number().over(win))
+           .where(F.col("rk") <= 5).drop("rk")).collect()
+    out = []
+    for r in sorted(top, key=lambda r: (r.source, -r.exact_cnt, r.token)):
+        state = states[r.source]
+        est = int(sk.estimate(state, np.array([r.token], np.int64))[0])
+        bound = sk.error_bound(state)
+        out.append((r.source, int(r.token), int(r.exact_cnt),
+                    bool(0 < est <= r.exact_cnt and r.exact_cnt - est <= bound)))
+    return spark.createDataFrame(
+        out, "source string, token int, exact_cnt bigint, mg_ok boolean")
+
+
 def q_reservoir_sample(spark, sf_dir):
     """Distributed uniform reservoir sample over the token stream: exact n,
     exact sample size, and every sampled token verified present in the
@@ -756,6 +785,7 @@ SKETCH_QUERIES = {
     "streaming_stateful_sources": q_streaming_stateful_sources,
     "streaming_cbloom_retractions": q_streaming_cbloom_retractions,
     "mg_heavy_hitters": q_mg_heavy_hitters,
+    "mg_grouped_heavy_hitters_per_source": q_mg_grouped_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
 }
 
@@ -892,6 +922,16 @@ def sketch_oracles() -> dict[str, str]:
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
                 FROM (SELECT unnest(tokens) AS t FROM {tok})
                 GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
+        """,
+        "mg_grouped_heavy_hitters_per_source": f"""
+            SELECT source, token, exact_cnt, TRUE AS mg_ok FROM (
+                SELECT source, t AS token,
+                       CAST(count(*) AS BIGINT) AS exact_cnt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, t ASC) AS rk
+                FROM (SELECT source, unnest(tokens) AS t FROM {tok})
+                GROUP BY source, t)
+            WHERE rk <= 5
         """,
         "reservoir_sample": f"""
             SELECT CAST(1000 AS BIGINT) AS n_sampled,
