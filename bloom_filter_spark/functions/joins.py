@@ -116,6 +116,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     emitted ``<right_ts>_matched`` column).  ``tolerance``: max allowed
     left_ts − right_ts (same units as the ts columns); staler matches are
     null-extended, exactly like pandas merge_asof.
+
+    Skew caveat: a single hot key serializes into one window task, and the
+    running-last frame cannot be salted (order matters).  For a key whose
+    row count breaks a task, pre-split BY TIME RANGE instead: process each
+    time slice independently and seed slice N+1 with slice N's last right
+    row per key — the slice boundary replays at most one row per key.
     """
     from pyspark.sql import Window
 
