@@ -123,6 +123,28 @@ def main() -> None:
         tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
         n_salts=cpus, salt_on="doc_id", strategy="salted").collect())
 
+    # distributed deletes: ±1 changelog fold over every doc_id (inserts)
+    # plus the odd-parity half (retractions) — counter-sum merge
+    from pyspark.sql import functions as _F
+
+    from bloom_filter_spark.operators import build_delta_sketch
+    from bloom_filter_spark.sketches import CountingBloomSketch
+
+    def cbloom_changelog():
+        docs = tokens.select(
+            "doc_id", (_F.ascii(_F.substring("doc_id", -1, 1)) % 2).alias("par"))
+        changelog = (docs.select("doc_id", _F.lit(1).alias("sign"))
+                     .unionAll(docs.where(_F.col("par") == 1)
+                               .select("doc_id", _F.lit(-1).alias("sign"))))
+        n_docs = docs.count()
+        cb = CountingBloomSketch(BloomParams(n=n_docs + 16, p=0.01))
+        # wide state (4 B/cell, ~33 MB serialized): the operator auto-
+        # coalesces the fold so P × |state| stays near the merge budget
+        blob, n = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
+        return n
+
+    timed("cbloom_changelog_build", cbloom_changelog)
+
     # pipeline ops on the driver testdata (documents/embeddings); above
     # sf0.1 the driver ships no doc/emb tables, so the deterministic
     # fixture twins stand in (same schema and workload shape)

@@ -106,8 +106,16 @@ def merge_partials_auto(partials: DataFrame, sketch, fanin: int = 64,
     the plan (one row per partition on the direct path, no job)."""
     if est_rows is None:
         est_rows = partials.rdd.getNumPartitions()
-    if est_rows * state_size_estimate(sketch) > threshold_bytes:
-        row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
+    sz = state_size_estimate(sketch)
+    if est_rows * sz > threshold_bytes:
+        # byte-aware fanin: a WIDE state (e.g. a 33 MB counting-bloom
+        # counter array) with the default fanin=64 would funnel 2+ GB into
+        # ONE merge task; cap each task's input at the same byte budget
+        # that triggered the tree, so memory per merge task stays bounded
+        # no matter how large a single state is
+        per_task = max(2, int(threshold_bytes // max(1, sz)))
+        row = merge_partials_tree(partials, sketch,
+                                  fanin=min(fanin, per_task)).collect()[0]
         return bytes(row.state), int(row.n_items)
     return merge_partials_collect(partials, sketch)
 

@@ -330,3 +330,26 @@ def test_bucketed_tables_join_without_exchange(spark, tokens_df):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_wide_state_fold_auto_coalesces(spark, tokens_df):
+    """P × |state| bounding: a wide-state (multi-MB) sketch fold coalesces
+    its input so the merge never receives GBs of partials; narrow sketches
+    keep their input parallelism."""
+    from bloom_filter_spark.operators.build import (_bound_state_volume,
+                                                    build_partials)
+    from bloom_filter_spark.operators.merge import (AUTO_TREE_THRESHOLD_BYTES,
+                                                    state_size_estimate)
+    from bloom_filter_spark.sketches import (BloomParams, BloomSketch,
+                                             CountingBloomSketch)
+
+    wide = CountingBloomSketch(BloomParams(n=600_000, p=0.01))  # ~33 MB state
+    sz = state_size_estimate(wide)
+    assert sz > 8 << 20
+    many = tokens_df.select("doc_id").repartition(64)
+    parts = build_partials(many, wide, "doc_id", "str").count()
+    assert parts * sz <= 2 * AUTO_TREE_THRESHOLD_BYTES
+    assert parts >= 8
+    # narrow sketch: input parallelism untouched
+    narrow = BloomSketch(BloomParams(n=65_536, p=0.01))
+    assert _bound_state_volume(many, narrow).rdd.getNumPartitions() == 64
