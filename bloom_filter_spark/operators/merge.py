@@ -84,6 +84,12 @@ def state_size_estimate(sketch) -> int:
         # 13 + 2^b (16 KiB at b=14, 1 MiB at b=20) — size the router on the
         # dense worst case or every HLL fleet would route to driver collect
         return 13 + (1 << sketch.params.b)
+    if sketch.kind == "bloom":
+        return 16 + sketch.params.n_words * 8
+    if sketch.kind == "cbloom":
+        # params-derived: serializing a zeroed 2^27-counter array just to
+        # measure it would churn ~GBs of driver allocations per build
+        return 16 + sketch.params.m * 4
     base = len(sketch.serialize(sketch.empty()))
     k = getattr(sketch.params, "k", None)
     if k is not None:  # KMV/reservoir: k×u64; MG: k×(key+count); KLL: ~3k

@@ -195,3 +195,10 @@ def test_range_join_exact_bucketing_beyond_2_53(spark):
     got = range_join(pts, ivs, key="k", point_ts="pt", start_ts="lo",
                      end_ts="hi", bucket=1000).collect()
     assert [(r.pid, r.iid) for r in got] == [(0, 9)]
+
+
+def test_single_bucket_quantile_partitioning(spark):
+    from bloom_filter_spark.functions.joins import repartition_by_quantiles
+    df = spark.range(100).selectExpr("id", "id * 1.5 as v")
+    out = repartition_by_quantiles(df, "v", 1)  # zero interior boundaries
+    assert out.count() == 100
