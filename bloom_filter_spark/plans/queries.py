@@ -944,7 +944,55 @@ def sketch_oracles() -> dict[str, str]:
 
 from .pipeline_queries import PIPELINE_QUERIES, pipeline_oracles  # noqa: E402
 
-QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
+_ALL_QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
+
+# The driver's correctness gate checks AT MOST the first 50 registry entries
+# (insertion order).  With >50 registered queries, ordering decides which
+# rows get a fresh CORRECTNESS_r{N} check.  Policy (VERDICT r3 #1):
+#   head — queries with no driver-green row yet, or whose code changed this
+#          round;
+#   tail — long-stable rows (green since r1/r2, code untouched) absorb the
+#          >50 truncation.  Everything else keeps its relative order in
+#          between.
+_HEAD = [
+    # never driver-checked before r4 (registry positions 55-59 in r3)
+    "weighted_sample_docs",
+    "weighted_sample_per_source",
+    "events_asof_attribution",
+    "events_range_join",
+    "quantile_range_partitioning",
+    # r2-green relational rows that fell outside r3's 50-query window
+    "tpch_q1",
+    "top_customer_per_nation",
+    "events_sessionize",
+    "event_type_stats",
+    "lineitem_shipdate_rollup",
+    # code changed in r4 (counting-bloom shard state, grouped auto-route)
+    "cbloom_delete_probe",
+    "streaming_cbloom_retractions",
+    "hll_distinct_per_source",
+    "kll_grouped_quantiles_per_source",
+    "mg_grouped_heavy_hitters_per_source",
+]
+_TAIL = [
+    # green every round since r1/r2; code untouched in r4
+    "bloom_membership_fpr",
+    "bloom_token_intersection",
+    "kmv_distinct_tokens",
+    "cms_no_underestimate",
+    "kll_ntok_quantiles",
+    "tdigest_ntok_quantiles",
+    "kll_token_value_quantiles",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+]
+
+QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}
+QUERIES.update({n: f for n, f in _ALL_QUERIES.items()
+                if n not in _HEAD and n not in _TAIL})
+QUERIES.update({n: _ALL_QUERIES[n] for n in _TAIL})
+assert len(QUERIES) == len(_ALL_QUERIES), "registry reorder lost a query"
 
 
 def ORACLES() -> dict[str, str]:
