@@ -125,11 +125,11 @@ def main() -> None:
 
     # distributed deletes: ±1 changelog fold (inserts + odd-parity
     # retractions) — counter-sum merge.  Benched on a deterministic 1/3
-    # doc subset: capacity then sizes to ~8 MB states that ride the
-    # driver-fold merge, so this line times the FOLD, not a 537 MB state
-    # exchange whose wall-clock is hypervisor-window roulette (the
-    # full-capacity path is evidenced in BENCH/wide_state_fold.json and
-    # the sf1 run).  Subsetting by doc hash keeps every delete's insert.
+    # doc subset (keeps every delete's insert).  At sf0.1 the subset's
+    # ~8 MB states ride the driver-fold merge; above the 32 MB route
+    # threshold build_delta_sketch auto-shards the state into column-range
+    # (shard_id, state) rows merged by ONE groupBy(shard_id) wave —
+    # sf1 evidence in BENCH/cbloom_sharded_sf1.json (143.6 s → 5.8 s).
     from bloom_filter_spark.operators import build_delta_sketch
     from bloom_filter_spark.plans.queries import _parity_changelog
     from bloom_filter_spark.sketches import CountingBloomSketch

@@ -257,9 +257,10 @@ def build_delta_partials(df: DataFrame, sketch, col: str, sign_col: str,
     globally, deletes ≤ inserts per key.  The sketch must implement
     ``update_delta_{str,i32}``.
     """
-    # null keys are dropped in-plan: _arrow_values drop_null would desync
-    # the parallel signs column inside the kernel
-    sel = (df.where(F.col(col).isNotNull())
+    # null keys AND null signs are dropped in-plan: _arrow_values drop_null
+    # would desync the parallel signs column inside the kernel, and a null
+    # sign surviving to to_numpy() becomes NaN → an arbitrary int32 delta
+    sel = (df.where(F.col(col).isNotNull() & F.col(sign_col).isNotNull())
            .select(F.col(col).alias("v"),
                    F.col(sign_col).cast("int").alias("s")))
     if repartition:
@@ -291,11 +292,114 @@ def build_delta_partials(df: DataFrame, sketch, col: str, sign_col: str,
     return sel.mapInArrow(partial_fn, PARTIAL_SCHEMA)
 
 
+SHARD_SCHEMA = "shard_id int, n_items long, state binary"
+
+# Above this dense-state size the monolithic changelog fold is routed to the
+# sharded path: blob-per-partition states this wide would otherwise force
+# either a scan coalesce (losing parallelism) or GB-scale rows through a
+# near-binary serial merge tree (BENCH/wide_state_fold.json).
+SHARD_ROUTE_THRESHOLD_BYTES = 32 << 20
+
+
+def build_delta_shard_partials(df: DataFrame, sketch, col: str, sign_col: str,
+                               value_kind: str = "str",
+                               n_shards: int | None = None,
+                               repartition: int | None = None) -> DataFrame:
+    """Changelog fold emitting SHARDED partials: each partition folds its
+    slice into a local dense counter array, then ships it as ``n_shards``
+    column-range rows (shard_id, n_items, state) — sparse-encoded when few
+    cells are touched, so per-partition shuffle bytes track the rows the
+    partition actually wrote (≈ rows × k × 8 B), not the filter width.
+
+    Scan parallelism is NEVER coalesced here (that is the point): the merge
+    is a single groupBy(shard_id) with one reducer per shard, so a 1000-task
+    scan of a 10^10-cell filter shuffles data-proportional bytes into
+    width-proportional parallel reducers.  Per-task transient memory is one
+    dense local array (m × 4 B) — the same transient the monolithic fold
+    holds before serializing.  ``n_items`` rides only shard-0 rows so the
+    global count sums cleanly."""
+    if not hasattr(sketch, "serialize_shard"):
+        raise ValueError(f"{sketch.kind} does not support sharded states")
+    sel = (df.where(F.col(col).isNotNull() & F.col(sign_col).isNotNull())
+           .select(F.col(col).alias("v"),
+                   F.col(sign_col).cast("int").alias("s")))
+    if repartition:
+        sel = sel.repartition(repartition)
+    if n_shards is None:
+        n_shards = sketch.shard_count()
+    updater = f"update_delta_{value_kind}"
+    if not hasattr(sketch, updater):
+        raise ValueError(f"{sketch.kind} does not support signed updates")
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        state = sketch.empty()
+        n = 0
+        for b in batches:
+            vals = _arrow_values(b.column(0), value_kind)
+            signs = b.column(1).to_numpy(zero_copy_only=False).astype(np.int32)
+            if len(vals):
+                getattr(sketch, updater)(state, vals, signs)
+                n += len(vals)
+        yield pa.RecordBatch.from_pydict({
+            "shard_id": pa.array(list(range(n_shards)), pa.int32()),
+            "n_items": pa.array([n] + [0] * (n_shards - 1), pa.int64()),
+            "state": pa.array([sketch.serialize_shard(state, i, n_shards)
+                               for i in range(n_shards)], pa.binary()),
+        })
+
+    return sel.mapInArrow(partial_fn, SHARD_SCHEMA)
+
+
+def merge_shard_partials(partials: DataFrame, sketch) -> DataFrame:
+    """(shard_id, n_items, state)* → ONE dense row per shard: a single
+    groupBy(shard_id) counter-sum — merge parallelism = n_shards, and each
+    reducer holds one shard accumulator, never the whole filter."""
+    cls = type(sketch)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = cls.merge_shard_blobs(list(pdf["state"]))
+        return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
+                             "n_items": [int(pdf["n_items"].sum())],
+                             "state": [blob]})
+
+    return partials.groupBy("shard_id").applyInPandas(merge_group, SHARD_SCHEMA)
+
+
+def build_delta_sketch_sharded(df: DataFrame, sketch, col: str, sign_col: str,
+                               value_kind: str = "str",
+                               n_shards: int | None = None,
+                               repartition: int | None = None) -> tuple[bytes, int]:
+    """Sharded changelog fold → merged monolithic state blob (bit-identical
+    to the monolithic path — integer counter addition commutes, so shard
+    order and partition order never matter)."""
+    partials = build_delta_shard_partials(df, sketch, col, sign_col,
+                                          value_kind, n_shards, repartition)
+    rows = merge_shard_partials(partials, sketch).collect()
+    if not rows:
+        return sketch.serialize(sketch.empty()), 0
+    blob = type(sketch).reassemble_shards([r.state for r in rows])
+    return blob, int(sum(r.n_items for r in rows))
+
+
 def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
                        value_kind: str = "str", fanin: int = 64,
-                       repartition: int | None = None) -> tuple[bytes, int]:
-    """Changelog fold → merged state blob (see build_delta_partials)."""
-    from .merge import merge_partials_auto
+                       repartition: int | None = None,
+                       sharded: bool | None = None) -> tuple[bytes, int]:
+    """Changelog fold → merged state blob (see build_delta_partials).
+
+    Routing: AUTO by default — the monolithic blob-per-partition fold while
+    the dense state stays under SHARD_ROUTE_THRESHOLD_BYTES, the sharded
+    column-range fold beyond it (build_delta_shard_partials).  Measured at
+    sf1 (2^25-counter / 134 MB state): 143.6 s monolithic → sharded keeps
+    full scan parallelism and one parallel merge wave."""
+    from .merge import merge_partials_auto, state_size_estimate
+    if sharded is None:
+        sharded = (hasattr(sketch, "serialize_shard")
+                   and state_size_estimate(sketch) > SHARD_ROUTE_THRESHOLD_BYTES)
+    if sharded:
+        return build_delta_sketch_sharded(df, sketch, col, sign_col,
+                                          value_kind, repartition=repartition)
     partials = build_delta_partials(df, sketch, col, sign_col, value_kind,
                                     repartition)
     return merge_partials_auto(partials, sketch, fanin=fanin)

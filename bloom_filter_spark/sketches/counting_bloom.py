@@ -50,6 +50,12 @@ class CountingBloomSketch:
     kind = "cbloom"
 
     def __init__(self, params: BloomParams):
+        # _hash below is splitmix64-only; silently accepting an xxh3-family
+        # BloomParams would hand back a non-parity filter (ADVICE r3)
+        if params.hash_family != "splitmix64":
+            raise ValueError(
+                "CountingBloomSketch hashes with splitmix64 only; got "
+                f"hash_family={params.hash_family!r}")
         self.params = params
 
     # -- state ------------------------------------------------------------
@@ -172,6 +178,99 @@ class CountingBloomSketch:
     # -- merge ------------------------------------------------------------
     def merge(self, a, b) -> np.ndarray:
         return a + b
+
+    # -- sharded serde (scale path for WIDE counter arrays) ----------------
+    # A full-capacity counting bloom at 10^7+ keys serializes to hundreds of
+    # MB; shipping that as ONE blob per partition forces the merge to either
+    # coalesce the scan (losing parallelism) or funnel GB-scale rows through
+    # a serial fanin tree.  Sharding splits the counter array into
+    # column-range segments emitted as (shard_id, bytes) rows, so the merge
+    # becomes a single groupBy(shard_id) — state WIDTH converts to merge
+    # PARALLELISM, and per-merge-task memory is one shard, not the filter.
+    # Segments with few touched cells ship sparse ((u32 rel-idx, i4 val)
+    # pairs): a partition's shard volume is bounded by its row count × k,
+    # not by m — at scale the shuffle carries the data actually written.
+    # Layout (LE): u32 m | u32 k | u64 seed | u32 n_shards | u32 shard_id |
+    #              u8 mode | mode 0: dense <i4 cells[lo:hi]
+    #                       | mode 1: u32 nnz | <u4 rel_idx×nnz | <i4 val×nnz
+    def shard_count(self, target_bytes: int = 8 << 20) -> int:
+        """Number of column-range shards so a dense shard ≈ target_bytes."""
+        return max(1, -(-self.params.m * 4 // target_bytes))
+
+    def shard_bounds(self, shard_id: int, n_shards: int) -> tuple[int, int]:
+        m = self.params.m
+        return shard_id * m // n_shards, (shard_id + 1) * m // n_shards
+
+    def serialize_shard(self, state: np.ndarray, shard_id: int,
+                        n_shards: int) -> bytes:
+        p = self.params
+        lo, hi = self.shard_bounds(shard_id, n_shards)
+        seg = state[lo:hi]
+        header = (pack_u32(p.m) + pack_u32(p.k) + pack_u64(p.seed)
+                  + pack_u32(n_shards) + pack_u32(shard_id))
+        nz = np.flatnonzero(seg)
+        if nz.size * 8 < seg.size * 4:  # sparse wins below 50% fill
+            return (header + b"\x01" + pack_u32(nz.size)
+                    + nz.astype("<u4").tobytes()
+                    + seg[nz].astype("<i4").tobytes())
+        return header + b"\x00" + seg.astype("<i4").tobytes()
+
+    _SHARD_HEADER_LEN = 24
+
+    @classmethod
+    def merge_shard_blobs(cls, blobs: list) -> bytes:
+        """Counter-sum N same-shard blobs → one DENSE shard blob.  All blobs
+        must agree on (m, k, seed, n_shards, shard_id) — header-checked like
+        merge_blobs."""
+        head = bytes(blobs[0][:cls._SHARD_HEADER_LEN])
+        r = Reader(head)
+        m, k = r.u32(), r.u32()
+        r.u64()
+        n_shards, shard_id = r.u32(), r.u32()
+        lo = shard_id * m // n_shards
+        hi = (shard_id + 1) * m // n_shards
+        acc = np.zeros(hi - lo, dtype=_DTYPE)
+        for b in blobs:
+            b = bytes(b)
+            if b[:cls._SHARD_HEADER_LEN] != head:
+                raise ValueError(
+                    "refusing to merge cbloom shards with different "
+                    "params/seeds/shard identity")
+            r = Reader(b)
+            r.pos = cls._SHARD_HEADER_LEN
+            mode = b[r.pos]
+            r.pos += 1
+            if mode == 1:
+                nnz = r.u32()
+                idx = r.array("<u4", nnz)
+                val = r.array("<i4", nnz)
+                np.add.at(acc, idx.astype(np.int64), val.astype(_DTYPE))
+            else:
+                acc += r.array("<i4", hi - lo).astype(_DTYPE)
+        return (head + b"\x00" + acc.astype("<i4").tobytes())
+
+    @classmethod
+    def reassemble_shards(cls, blobs: list) -> bytes:
+        """DENSE shard blobs (one per shard_id, any order) → the monolithic
+        serialize() layout, bit-for-bit."""
+        parsed = {}
+        m = k = seed = n_shards = None
+        for b in blobs:
+            b = bytes(b)
+            r = Reader(b)
+            bm, bk, bseed, bn, sid = r.u32(), r.u32(), r.u64(), r.u32(), r.u32()
+            if m is None:
+                m, k, seed, n_shards = bm, bk, bseed, bn
+            elif (bm, bk, bseed, bn) != (m, k, seed, n_shards):
+                raise ValueError("mixed-filter shards in reassembly")
+            if b[r.pos] != 0:
+                raise ValueError("reassembly expects dense shard blobs")
+            parsed[sid] = b[r.pos + 1:]
+        if sorted(parsed) != list(range(n_shards)):
+            raise ValueError(
+                f"incomplete shard set: have {sorted(parsed)} of {n_shards}")
+        body = b"".join(parsed[i] for i in range(n_shards))
+        return pack_u32(m) + pack_u32(k) + pack_u64(seed) + body
 
     # -- serde (engine layout; the reference has no counting filter) -------
     def serialize(self, state: np.ndarray) -> bytes:

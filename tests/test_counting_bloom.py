@@ -118,3 +118,50 @@ def test_mismatched_params_merge_refused():
     b1, b2 = cb1.serialize(s1), cb2.serialize(s2)
     with pytest.raises(ValueError, match="refusing to merge"):
         merge_blobs(cb1, [b1, b2], 0)
+
+
+def test_shard_serde_roundtrip_and_merge_equivalence():
+    """Sharded serde (scale path): splitting a state into column-range
+    shards, merging per shard, and reassembling reproduces the monolithic
+    serialize() layout bit-for-bit — for both dense and sparse shard
+    encodings, at shard counts that don't divide m evenly."""
+    params = BloomParams(n=2000, p=0.01)
+    cb = CountingBloomSketch(params)
+    # two states whose sum is the target: one dense-ish, one sparse
+    a, b = cb.empty(), cb.empty()
+    cb.update_i32(a, _keys(20_000, seed=1))  # ~99% fill → dense encoding
+    cb.update_i32(b, _keys(40, seed=2))
+    cb.update_delta_i32(b, _keys(25, seed=3), np.full(25, -1, np.int32))
+    for n_shards in (1, 3, 7):
+        merged = [CountingBloomSketch.merge_shard_blobs(
+            [cb.serialize_shard(a, i, n_shards),
+             cb.serialize_shard(b, i, n_shards)]) for i in range(n_shards)]
+        # reassembly in scrambled shard order must still line up
+        blob = CountingBloomSketch.reassemble_shards(merged[::-1])
+        assert blob == cb.serialize(a + b)
+    # sparse mode actually engaged for the sparse state
+    assert cb.serialize_shard(b, 0, 1)[24] == 1
+    assert cb.serialize_shard(a, 0, 1)[24] == 0
+
+
+def test_shard_merge_refuses_mismatched_identity():
+    params = BloomParams(n=2000, p=0.01)
+    cb = CountingBloomSketch(params)
+    st = cb.empty()
+    cb.update_i32(st, _keys(100))
+    s0 = cb.serialize_shard(st, 0, 4)
+    s1 = cb.serialize_shard(st, 1, 4)
+    with pytest.raises(ValueError):
+        CountingBloomSketch.merge_shard_blobs([s0, s1])  # different shard_id
+    other = CountingBloomSketch(BloomParams(n=2000, p=0.01, seed=99))
+    with pytest.raises(ValueError):
+        CountingBloomSketch.merge_shard_blobs(
+            [s0, other.serialize_shard(other.empty(), 0, 4)])
+    with pytest.raises(ValueError):
+        CountingBloomSketch.reassemble_shards(
+            [CountingBloomSketch.merge_shard_blobs([s0])])  # missing shards
+
+
+def test_counting_bloom_rejects_xxh3_params():
+    with pytest.raises(ValueError, match="splitmix64"):
+        CountingBloomSketch(BloomParams(n=100, p=0.01, hash_family="xxh3"))

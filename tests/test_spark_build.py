@@ -357,3 +357,75 @@ def test_wide_state_fold_auto_coalesces(spark, tokens_df):
     # narrow sketch: input parallelism untouched
     narrow = BloomSketch(BloomParams(n=65_536, p=0.01))
     assert _bound_state_volume(many, narrow).rdd.getNumPartitions() == 64
+
+
+def test_cbloom_sharded_fold_bit_parity(spark, tokens_df):
+    """Sharded changelog fold ≡ monolithic fold bit-for-bit: deletes land on
+    different partitions than their inserts (locally negative shards), shard
+    rows mix sparse and dense encodings, and the reassembled blob must equal
+    the monolithic path's exactly (counter addition commutes)."""
+    from bloom_filter_spark.operators import (build_delta_sketch,
+                                              build_delta_sketch_sharded)
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    docs = tokens_df.select("doc_id")
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    with_par = docs.select("doc_id", parity)
+    changelog = (with_par.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(with_par.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign")))
+                 ).repartition(8, "sign")
+
+    def fresh():
+        return CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+
+    mono_blob, mono_n = build_delta_sketch(changelog, fresh(), "doc_id",
+                                           "sign", "str", sharded=False)
+    for n_shards in (1, 5):
+        blob, n = build_delta_sketch_sharded(changelog, fresh(), "doc_id",
+                                             "sign", "str", n_shards=n_shards)
+        assert blob == mono_blob and n == mono_n
+
+
+def test_cbloom_delta_route_auto_shards_wide_state(spark, tokens_df, monkeypatch):
+    """build_delta_sketch auto-routes: wide states (dense bytes above the
+    shard threshold) take the sharded path, narrow ones the monolithic fold
+    — and both produce the same blob."""
+    from bloom_filter_spark.operators import build as build_mod
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    changelog = tokens_df.select("doc_id", F.lit(1).alias("sign")).limit(500)
+
+    def fresh():
+        return CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+
+    mono, _ = build_mod.build_delta_sketch(changelog, fresh(), "doc_id",
+                                           "sign", "str", sharded=False)
+    # force the auto route down the sharded path for this narrow filter
+    monkeypatch.setattr(build_mod, "SHARD_ROUTE_THRESHOLD_BYTES", 1024)
+    auto, _ = build_mod.build_delta_sketch(changelog, fresh(), "doc_id",
+                                           "sign", "str")
+    assert auto == mono
+
+
+def test_cbloom_delta_fold_drops_null_signs(spark, tokens_df):
+    """A null sign must be filtered in-plan, not coerced to a garbage
+    delta (ADVICE r3): folding a changelog with null signs equals folding
+    the same changelog with those rows removed."""
+    from bloom_filter_spark.operators import build_delta_sketch
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    base = tokens_df.select("doc_id").limit(300)
+    clean = base.select("doc_id", F.lit(1).alias("sign"))
+    noisy = clean.unionAll(
+        base.limit(40).select(
+            "doc_id", F.lit(None).cast("int").alias("sign")))
+
+    def fresh():
+        return CountingBloomSketch(BloomParams(n=1000, p=0.01))
+
+    blob_clean, n_clean = build_delta_sketch(clean, fresh(), "doc_id",
+                                             "sign", "str")
+    blob_noisy, n_noisy = build_delta_sketch(noisy, fresh(), "doc_id",
+                                             "sign", "str")
+    assert blob_noisy == blob_clean and n_noisy == n_clean
