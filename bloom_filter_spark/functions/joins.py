@@ -98,7 +98,9 @@ def repartition_by_quantiles(df: DataFrame, col: str, n_buckets: int,
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str, right_cols: list[str],
               tie_col: str | None = None,
-              tolerance: int | None = None) -> DataFrame:
+              tolerance: int | None = None,
+              n_slices: int | None = None,
+              slice_bounds: list[float] | None = None) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row with the
     same ``key`` and right_ts ≤ left_ts (the feature-store / attribution
     staple Spark lacks as a built-in).
@@ -118,11 +120,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     left_ts − right_ts (same units as the ts columns); staler matches are
     null-extended, exactly like pandas merge_asof.
 
-    Skew caveat: a single hot key serializes into one window task, and the
-    running-last frame cannot be salted (order matters).  For a key whose
-    row count breaks a task, pre-split BY TIME RANGE instead: process each
-    time slice independently and seed slice N+1 with slice N's last right
-    row per key — the slice boundary replays at most one row per key.
+    Skew defense: a single hot key serializes into one window task, and the
+    running-last frame cannot be salted (order matters).  Pass ``n_slices``
+    to pre-split BY TIME RANGE: slice boundaries come from a t-digest over
+    both sides' timestamps (equi-depth), every (key, slice) window runs
+    independently, and slice s is seeded with the key's last right row from
+    slices < s — so a hot key's parallelism becomes the number of slices it
+    spans while each boundary replays at most ONE row per (key, slice).
+    Results are identical to the unsliced path.  ``slice_bounds`` skips the
+    sketch pass when the caller already has boundaries.  Timestamps must be
+    non-null on both sides (an as-of position for a null time is undefined).
     """
     from pyspark.sql import Window
 
@@ -130,12 +137,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         if c == key:
             raise ValueError("right_cols must not include the join key")
     out_ts = f"{right_ts}_matched"
-    reserved = {"_k", "_t", "_side", "_tie"}
+    reserved = {"_k", "_t", "_side", "_tie", "_sl"}
     clashes = ((set(left.columns) & (set(right_cols) | {out_ts} | reserved))
                | (set(right.columns) & reserved))
-    if clashes:
+    # internal running-last aliases use the '_r_'/'_m_' prefixes; a left
+    # column already carrying one would unionByName-match the right payload
+    # and silently corrupt matches instead of erroring (ADVICE r3)
+    prefixed = sorted(c for c in set(left.columns) | set(right.columns)
+                      if c.startswith(("_r_", "_m_")))
+    if clashes or prefixed:
         raise ValueError(f"alias colliding columns before asof_join: "
-                         f"{sorted(clashes)}")
+                         f"{sorted(clashes) + prefixed}")
     if tie_col is not None:
         # order ties in the column's NATIVE type — casting a string id to
         # long would null every tie and make the winner partition-order
@@ -155,8 +167,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(0).alias("_side"), tie.alias("_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias(f"_r_{out_ts}"))
-    both = l.unionByName(r, allowMissingColumns=True)
-    win = (Window.partitionBy("_k")
+    if n_slices is not None and n_slices > 1 or slice_bounds:
+        both, part_cols = _asof_time_sliced(l, r, right_cols, out_ts,
+                                            n_slices or (len(slice_bounds) + 1),
+                                            slice_bounds)
+    else:
+        both, part_cols = l.unionByName(r, allowMissingColumns=True), ["_k"]
+    win = (Window.partitionBy(*part_cols)
            .orderBy(F.asc("_t"), F.asc("_side"), F.asc_nulls_last("_tie"))
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = [F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_m_{c}")
@@ -175,6 +192,63 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                          *[F.col(f"_m_{c}").alias(c) for c in right_cols],
                          F.col(f"_m_{out_ts}").alias(out_ts))
     return res
+
+
+def _asof_time_sliced(l: DataFrame, r: DataFrame, right_cols: list[str],
+                      out_ts: str, n_slices: int,
+                      bounds: list[float] | None) -> tuple[DataFrame, list[str]]:
+    """Time-slice pre-split for asof_join: returns (unioned rows carrying a
+    ``_sl`` slice id, window partition columns ["_k", "_sl"]).
+
+    Mechanics — three parallel passes, none keyed on the hot key alone:
+      1. equi-depth slice boundaries from a t-digest over BOTH sides' ``_t``
+         (skipped when ``bounds`` is given);
+      2. per (key, slice) the LAST right row (row_number desc — the exact
+         mirror of the main window's (ts, tie) order), then one small
+         running-last window per key over slice-level rows interleaving
+         "last right in slice s" events with "left needs a seed in slice s"
+         events, kind-ordered so a need sees only strictly-earlier slices;
+      3. seeds union in as synthetic right rows.  A seed's ``_t`` is its
+         original timestamp, which is ≤ the previous boundary and therefore
+         sorts before every row of the slice it seeds.
+    Each slice boundary replays at most one right row per (key, slice that
+    left rows occupy), so the extra volume is bounded by K × S rows."""
+    from pyspark.sql import Window
+
+    if bounds is None:
+        ts_union = l.select("_t").unionAll(r.select("_t"))
+        bounds = quantile_buckets(ts_union, "_t", n_slices)
+    ls = l.withColumn("_sl", bucket_expr("_t", bounds))
+    rs = r.withColumn("_sl", bucket_expr("_t", bounds))
+
+    # 2a. last right row per (key, slice): reverse of the main window order,
+    # so row 1 is exactly the row the running frame would have surfaced
+    w_last = (Window.partitionBy("_k", "_sl")
+              .orderBy(F.desc_nulls_last("_t"), F.desc_nulls_first("_tie")))
+    slice_last = (rs.withColumn("_rn", F.row_number().over(w_last))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+    # 2b. slices that need a seed = every (key, slice) the left occupies
+    needs = ls.select("_k", "_sl").distinct()
+    ev = (slice_last.withColumn("_kind", F.lit(1))
+          .unionByName(needs.withColumn("_kind", F.lit(0)),
+                       allowMissingColumns=True))
+    # needs (kind 0) order before the same slice's right-last (kind 1), so
+    # the running last a need sees comes from strictly earlier slices
+    w_seed = (Window.partitionBy("_k")
+              .orderBy(F.asc("_sl"), F.asc("_kind"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    payload = [f"_r_{c}" for c in right_cols] + [f"_r_{out_ts}", "_t", "_tie"]
+    seeded = ev.select(
+        "_k", "_sl", "_kind",
+        *[F.last(c, ignorenulls=True).over(w_seed).alias(c) for c in payload])
+    seeds = (seeded
+             .where((F.col("_kind") == 0)
+                    & F.col(f"_r_{out_ts}").isNotNull())
+             .drop("_kind")
+             .withColumn("_side", F.lit(0)))
+    both = (ls.unionByName(rs, allowMissingColumns=True)
+            .unionByName(seeds, allowMissingColumns=True))
+    return both, ["_k", "_sl"]
 
 
 def range_join(points: DataFrame, intervals: DataFrame, key: str,

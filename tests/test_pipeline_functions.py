@@ -525,6 +525,67 @@ def test_asof_join_equal_ts_matches_and_tolerance(spark):
     assert tol[1] == (None, None)  # age 150 > 100 → null-extended
 
 
+def test_asof_join_time_sliced_equals_unsliced_on_hot_key(spark):
+    """Time-slice pre-split (the hot-key skew defense): one key carries 50×
+    the rows of the others; slicing must (a) return EXACTLY the unsliced
+    results, including across-slice matches and tolerance nulls, and
+    (b) bound the per-window-task row count to ~1/n_slices of the hot key."""
+    import pandas as pd
+    from bloom_filter_spark.functions.joins import (asof_join, bucket_expr,
+                                                    quantile_buckets)
+    rng = np.random.default_rng(23)
+    n_hot, n_cold = 4000, 80
+    left = pd.DataFrame({
+        "k": np.concatenate([np.zeros(n_hot, np.int64),
+                             rng.integers(1, 5, n_cold)]),
+        "lt": rng.integers(0, 100_000, n_hot + n_cold),
+        "lid": np.arange(n_hot + n_cold)})
+    right = pd.DataFrame({
+        "k": np.concatenate([np.zeros(n_hot, np.int64),
+                             rng.integers(1, 5, n_cold)]),
+        "rt": rng.integers(0, 100_000, n_hot + n_cold),
+        "rid": np.arange(n_hot + n_cold),
+        "payload": rng.normal(size=n_hot + n_cold).round(6)})
+    # sparsify late right rows for key 0 so many slices have NO right rows —
+    # exercises seed propagation across more than one slice boundary
+    right = right[(right.k != 0) | (right.rt < 60_000) | (right.rid % 37 == 0)]
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    kw = dict(key="k", left_ts="lt", right_ts="rt",
+              right_cols=["rid", "payload"], tie_col="rid")
+    base = {r.lid: (r.rid, r.payload, r.rt_matched)
+            for r in asof_join(ldf, rdf, **kw).collect()}
+    for n_slices in (2, 8):
+        sliced = {r.lid: (r.rid, r.payload, r.rt_matched)
+                  for r in asof_join(ldf, rdf, n_slices=n_slices, **kw).collect()}
+        assert sliced == base
+    # tolerance interacts with seeded matches identically
+    base_tol = {r.lid: r.rid for r in asof_join(
+        ldf, rdf, tolerance=5_000, **kw).collect()}
+    sliced_tol = {r.lid: r.rid for r in asof_join(
+        ldf, rdf, tolerance=5_000, n_slices=8, **kw).collect()}
+    assert sliced_tol == base_tol
+
+    # bounded per-task rows: the largest (key, slice) window partition must
+    # be a fraction of the hot key's unsliced 2×n_hot-row partition
+    bounds = quantile_buckets(
+        ldf.select(F.col("lt").alias("_t"))
+           .unionAll(rdf.select(F.col("rt").alias("_t"))), "_t", 8)
+    per_slice = (ldf.withColumn("_sl", bucket_expr("lt", bounds))
+                 .groupBy("k", "_sl").count().agg(F.max("count")).collect()[0][0])
+    assert per_slice <= (2 * n_hot) / 4
+
+
+def test_asof_join_rejects_internal_prefix_columns(spark):
+    from bloom_filter_spark.functions.joins import asof_join
+    ldf = spark.createDataFrame([(1, 10, 5)], "k long, lt long, _r_x long")
+    rdf = spark.createDataFrame([(1, 5, 2.0)], "k long, rt long, v double")
+    with pytest.raises(ValueError, match="_r_x"):
+        asof_join(ldf, rdf, key="k", left_ts="lt", right_ts="rt",
+                  right_cols=["v"])
+
+
 def test_range_join_equals_inequality_join(spark):
     from bloom_filter_spark.functions.joins import range_join
     rng = np.random.default_rng(11)
