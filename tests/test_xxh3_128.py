@@ -153,6 +153,7 @@ def scalar_xxh3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
 SANITY_128 = {
     0: (0x6001C324468D497F, 0x99AA06D3014798D8),
     1: (0xC44BDFF4074EECDB, 0xA6CD5E9392000F6A),
+    6: (0x3E7039BDDA43CFC6, 0x082AFE0B8162D12A),
     12: (0x061A192713F69AD9, 0x6E3EFD8FC7802B18),
     24: (0x1E7044D28B1B901D, 0x0CE966E4678D3761),
     48: (0xF942219AED80F67B, 0xA002AC4E5478227E),
@@ -169,6 +170,54 @@ def test_published_128_sanity_vectors():
     for ln, (wl, wh) in SANITY_128.items():
         assert xxh3.xxh3_128(buf[:ln]) == (wl, wh), ln
         assert scalar_xxh3_128(buf[:ln]) == (wl, wh), ln
+
+
+def test_published_128_len6_seeded_vector_pins_4to8_orientation():
+    """The 4-8 length class's (lo, hi) orientation, pinned by published
+    sanity vectors at BOTH standard sanity seeds.  The seeded row is the
+    strong one: seed=PRIME32 exercises the class-specific
+    ``seed ^= swap32((u32)seed) << 32`` fold, so low/high agreeing with the
+    published (low64, high64) pair at two seeds fixes the orientation —
+    a swapped assignment would fail both rows."""
+    buf = _sanity_buffer()
+    PRIME32 = 2654435761
+    assert xxh3.xxh3_128(buf[:6], 0) == \
+        (0x3E7039BDDA43CFC6, 0x082AFE0B8162D12A)
+    assert xxh3.xxh3_128(buf[:6], PRIME32) == \
+        (0x269D8F70BE98856E, 0x5A865B5389ABD2B1)
+    assert scalar_xxh3_128(buf[:6], PRIME32) == \
+        (0x269D8F70BE98856E, 0x5A865B5389ABD2B1)
+
+
+def test_128_len_4to8_derivation_all_lengths_and_seeds():
+    """Spec-derivation twin over the WHOLE 4-8 class: for every length
+    4..8 and a seed sweep that flips the swap32 fold's interesting bits
+    (0, small, high-bit, sign-asymmetric), a pure big-int evaluation of the
+    published formula — one expression per step, no numpy limbs — must
+    agree with the vectorized implementation, and the int32/int64 fast
+    paths must equal the byte path of the same LE pattern."""
+    rng = np.random.default_rng(77)
+    seeds = [0, 1, 2654435761, 0x9E3779B185EBCA87, 0xFFFFFFFF00000001]
+    for ln in (4, 5, 6, 7, 8):
+        keys = [bytes(rng.integers(0, 256, ln, dtype=np.uint8))
+                for _ in range(8)]
+        for seed in seeds:
+            want = [scalar_xxh3_128(k, seed) for k in keys]
+            lo, hi = xxh3.xxh3_128_bytes(keys, seed)
+            assert [(int(a), int(b)) for a, b in zip(lo, hi)] == want, \
+                (ln, seed)
+    # fast-path orientation: i32/i64 vectors == byte path of LE patterns
+    vals32 = rng.integers(-2**31, 2**31, 64, dtype=np.int32)
+    vals64 = rng.integers(-2**63, 2**63, 64, dtype=np.int64)
+    for seed in seeds:
+        bl, bh = xxh3.xxh3_128_bytes(
+            [int(v).to_bytes(4, "little", signed=True) for v in vals32], seed)
+        il, ih = xxh3.xxh3_128_i32(vals32, seed)
+        assert (bl == il).all() and (bh == ih).all(), seed
+        bl, bh = xxh3.xxh3_128_bytes(
+            [int(v).to_bytes(8, "little", signed=True) for v in vals64], seed)
+        il, ih = xxh3.xxh3_128_i64(vals64, seed)
+        assert (bl == il).all() and (bh == ih).all(), seed
 
 
 def test_128_long_low_equals_64():
