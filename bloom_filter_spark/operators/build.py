@@ -476,15 +476,49 @@ def _grouped_phase2_fn(sketch):
     return phase2
 
 
+# A map-side grouped build holds ALL G group states in EVERY task; above
+# this budget of G × |dense state| the auto router falls back to the salted
+# repartition, whose per-task state memory divides by the partition count.
+MAPSIDE_STATE_BUDGET_BYTES = 256 << 20
+
+
+def _choose_grouped_strategy(df: DataFrame, sketch, group_col: str,
+                             group_cardinality: int | None) -> tuple[str, int]:
+    """mapside vs salted on estimated group cardinality: G × |state| within
+    the task budget → map-side combine (no data shuffle); beyond it →
+    salted repartition (task memory divides by P).  ``group_cardinality``
+    skips the approx_count_distinct job when the caller knows the domain."""
+    from .merge import state_size_estimate
+    if group_cardinality is None:
+        group_cardinality = int(df.select(
+            F.approx_count_distinct(group_col, rsd=0.15)).collect()[0][0])
+    est_bytes = group_cardinality * state_size_estimate(sketch)
+    if est_bytes > MAPSIDE_STATE_BUDGET_BYTES:
+        import logging
+        logging.getLogger("bloom_filter_spark").warning(
+            "build_grouped: ~%d groups x %d-byte states (= %.1f MB) exceeds "
+            "the %d MB map-side task budget; routing to strategy='salted'",
+            group_cardinality, state_size_estimate(sketch), est_bytes / 1e6,
+            MAPSIDE_STATE_BUDGET_BYTES >> 20)
+        return "salted", group_cardinality
+    return "mapside", group_cardinality
+
+
 def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
                   value_kind: str = "i32_array", n_salts: int = 16,
                   salt_on: str | None = None,
                   num_partitions: int | None = None,
-                  strategy: str = "mapside") -> DataFrame:
+                  strategy: str = "auto",
+                  group_cardinality: int | None = None) -> DataFrame:
     """One sketch per group as a two-phase mergeable aggregation.
     → DataFrame(group string, n_items long, state binary).
 
-    ``strategy="mapside"`` (default): phase 1 folds each INPUT partition's
+    ``strategy="auto"`` (default): route on estimated group cardinality —
+    map-side combine while G × |state| fits the task budget, salted beyond
+    it (a 10^5-group × MB-state domain would OOM every map-side task).
+    Pass ``group_cardinality`` to skip the estimate job.
+
+    ``strategy="mapside"``: phase 1 folds each INPUT partition's
     rows into one partial per group it contains — the token data never
     shuffles at all (classic map-side combine); only the P × G small state
     rows move into the phase-2 merge.  Skew-immune by construction: tasks
@@ -502,6 +536,10 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
     array_input = value_kind == "i32_array"
     elem_kind = "i32" if array_input else value_kind
     phase2 = _grouped_phase2_fn(sketch)
+
+    if strategy == "auto":
+        strategy, _ = _choose_grouped_strategy(df, sketch, group_col,
+                                               group_cardinality)
 
     if strategy == "mapside":
         base = df.select(F.col(group_col).cast("string").alias("group"),

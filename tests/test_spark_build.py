@@ -429,3 +429,40 @@ def test_cbloom_delta_fold_drops_null_signs(spark, tokens_df):
     blob_noisy, n_noisy = build_delta_sketch(noisy, fresh(), "doc_id",
                                              "sign", "str")
     assert blob_noisy == blob_clean and n_noisy == n_clean
+
+
+def test_grouped_auto_routes_high_cardinality_to_salted(spark, tokens_df):
+    """The auto router must send a 10^5-group domain down the salted path
+    (G × |state| would blow every map-side task) while the modest sources
+    domain stays map-side; a caller-configured cardinality skips the
+    estimate job but routes identically."""
+    from bloom_filter_spark.operators import build as build_mod
+    from bloom_filter_spark.sketches import HLLParams, HLLSketch
+    sk = HLLSketch(HLLParams(b=12))
+    wide = spark.range(100_000).select(F.col("id").cast("string").alias("g"))
+    strat, est = build_mod._choose_grouped_strategy(wide, sk, "g", None)
+    assert strat == "salted" and est > 50_000
+    strat2, _ = build_mod._choose_grouped_strategy(tokens_df, sk, "source", None)
+    assert strat2 == "mapside"
+    strat3, _ = build_mod._choose_grouped_strategy(wide, sk, "g", 100_000)
+    assert strat3 == "salted"
+
+
+def test_grouped_auto_salted_fallback_matches_mapside(spark, tokens_df,
+                                                      monkeypatch):
+    """End-to-end auto route down the salted fallback: HLL merge is
+    commutative and serde canonical, so the fallback's grouped states must
+    equal the map-side default bit-for-bit."""
+    from bloom_filter_spark.operators import build as build_mod
+    from bloom_filter_spark.sketches import HLLParams, HLLSketch
+
+    def run():
+        return {r.group: (r.n_items, bytes(r.state))
+                for r in build_mod.build_grouped(
+                    tokens_df, HLLSketch(HLLParams(b=12)), "source",
+                    "tokens", "i32_array", salt_on="doc_id").collect()}
+
+    mapside = run()
+    monkeypatch.setattr(build_mod, "MAPSIDE_STATE_BUDGET_BYTES", 1)
+    salted = run()
+    assert salted == mapside and len(mapside) > 0

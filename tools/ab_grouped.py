@@ -74,7 +74,8 @@ def main() -> None:
             df, DenseHLL(HLLParams(b=12)), "source", "tokens", "i32_array",
             n_salts=args.cpus, salt_on="doc_id", strategy="salted"),
         "mapside": lambda df: build_grouped(
-            df, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array"),
+            df, HLLSketch(HLLParams(b=12)), "source", "tokens", "i32_array",
+            strategy="mapside"),
     }
     names = list(variants)
 
