@@ -43,10 +43,10 @@ class BloomParams:
     seed: int = hashing.DEFAULT_SEED
     # "splitmix64" (engine default, seeded) or "xxh3" (reference bit-parity:
     # hashes are UNSEEDED exactly like the Go filter, which stores a Seed it
-    # never feeds to xxh3 — quirk Q1).  xxh3 mode covers keys ≤ 128 bytes
-    # (all int32/int64 tokens and realistic string ids); it makes a filter
-    # built by the Go reference probe-compatible after
-    # deserialize(hash_family="xxh3").
+    # never feeds to xxh3 — quirk Q1).  xxh3 mode covers keys of ANY length
+    # (core/xxh3.py implements every length class incl. the 129-240 ladder
+    # and the >240 stripe accumulator); it makes a filter built by the Go
+    # reference probe-compatible after deserialize(hash_family="xxh3").
     hash_family: str = "splitmix64"
     m_pre: int = field(init=False)
     k: int = field(init=False)
