@@ -126,26 +126,37 @@ def merge_partials_auto(partials: DataFrame, sketch, fanin: int = 64,
     return merge_partials_collect(partials, sketch)
 
 
-def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFrame:
-    """Reduce a partials DataFrame to a single (partition_id=0, n_items, state)
-    row via a fanin-ary tree of applyInPandas merges.  Use for LARGE fleets
-    of partials (P ≫ fanin) where a driver collect would be the bottleneck;
-    otherwise prefer merge_partials_collect."""
+def _tree_level(df: DataFrame, sketch, fanin: int) -> DataFrame:
+    """One fanin-ary merge level: group by floor(partition_id / fanin),
+    fold each group, emit the GROUP INDEX as the output partition_id.
+
+    INVARIANT (load-bearing for the byte-aware fanin cap in
+    merge_partials_auto): outputs are renumbered to the dense group ids
+    0..⌈P/fanin⌉-1, so floor-div grouping at the NEXT level packs at most
+    ``fanin`` rows per task again.  Emitting original ids instead would let
+    level-2 groups span fanin² consecutive inputs and silently funnel
+    fanin× the byte budget through one merge task — pinned by
+    tests/test_spark_build.py::test_merge_tree_level_renumbers_dense."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("partition_id")  # reproducible fold order
         blob, n = merge_blobs(sketch, list(pdf["state"]), pdf["n_items"].sum())
         return pd.DataFrame({"partition_id": [int(pdf["grp"].iloc[0])],
                              "n_items": [n], "state": [blob]})
 
+    return (df.withColumn("grp", F.floor(F.col("partition_id") / fanin))
+              .groupBy("grp")
+              .applyInPandas(merge_group, PARTIAL_SCHEMA))
+
+
+def merge_partials_tree(partials: DataFrame, sketch, fanin: int = 64) -> DataFrame:
+    """Reduce a partials DataFrame to a single (partition_id=0, n_items, state)
+    row via a fanin-ary tree of applyInPandas merges.  Use for LARGE fleets
+    of partials (P ≫ fanin) where a driver collect would be the bottleneck;
+    otherwise prefer merge_partials_collect."""
     df = partials.persist()
     count = df.count()
     while count > 1:
-        nxt = (
-            df.withColumn("grp", F.floor(F.col("partition_id") / fanin))
-              .groupBy("grp")
-              .applyInPandas(merge_group, PARTIAL_SCHEMA)
-              .persist()
-        )
+        nxt = _tree_level(df, sketch, fanin).persist()
         new_count = nxt.count()
         df.unpersist()
         df, count = nxt, new_count

@@ -466,3 +466,33 @@ def test_grouped_auto_salted_fallback_matches_mapside(spark, tokens_df,
     monkeypatch.setattr(build_mod, "MAPSIDE_STATE_BUDGET_BYTES", 1)
     salted = run()
     assert salted == mapside and len(mapside) > 0
+
+
+def test_merge_tree_level_renumbers_dense(spark):
+    """Each tree level must emit DENSE group ids 0..G-1 (not the original
+    partition ids): the byte-aware fanin cap assumes floor-div grouping at
+    the next level packs at most `fanin` rows per task, which only holds if
+    ids renumber every level.  Also holds for SPARSE input ids (a
+    checkpoint read-back can skip ids)."""
+    from bloom_filter_spark.operators.merge import _tree_level, PARTIAL_SCHEMA
+    from bloom_filter_spark.sketches import BloomParams, BloomSketch
+
+    sk = BloomSketch(BloomParams(n=256, p=0.01))
+    rows = []
+    for pid in (0, 1, 2, 3, 4, 5):
+        st = sk.empty()
+        sk.update_i32(st, np.arange(pid * 10, pid * 10 + 10, dtype=np.int32))
+        rows.append((pid, 10, bytearray(sk.serialize(st))))
+    df = spark.createDataFrame(rows, PARTIAL_SCHEMA)
+    lvl = {r.partition_id: r.n_items
+           for r in _tree_level(df, sk, fanin=2).collect()}
+    assert lvl == {0: 20, 1: 20, 2: 20}  # dense ids, fanin-sized groups
+    # sparse ids (simulating skipped partials) still renumber densely at
+    # the next level: floor-div of {0,1,2} with fanin=2 → {0, 1}
+    sparse = spark.createDataFrame(
+        [rows[0], (64, 10, rows[1][2]), (129, 10, rows[2][2])], PARTIAL_SCHEMA)
+    lvl1 = _tree_level(sparse, sk, fanin=64)
+    ids1 = sorted(r.partition_id for r in lvl1.collect())
+    assert ids1 == [0, 1, 2]  # floor-div groups of the sparse ids
+    ids2 = sorted(r.partition_id for r in _tree_level(lvl1, sk, 2).collect())
+    assert ids2 == [0, 1]  # renumbered dense → next level packs ≤ fanin
