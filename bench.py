@@ -178,6 +178,10 @@ def main() -> None:
         from bloom_filter_spark.functions import sampling
         timed("weighted_sample_topk", lambda: sampling.weighted_sample_topk(
             docs, "doc_id", "n_chars", k=100).count(), repeats=2)
+        # decontamination: broadcast Bloom prefilter + exact confirm join
+        timed("text_contamination", lambda: dedup.contamination_check(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0)).count(), repeats=2)
 
     # temporal joins over the driver's events table (absent above sf0.1)
     if os.path.exists(f"{sf_dir}/events.parquet"):

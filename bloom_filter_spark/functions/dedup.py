@@ -51,6 +51,66 @@ def _shingles(df: DataFrame, text_col: str, n: int = NGRAM) -> DataFrame:
             .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
+def contamination_check(train: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", n: int = NGRAM,
+                        p: float = 0.001) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an eval set.
+    → (doc_id, n_grams, n_contaminated, contaminated) per TRAIN doc, where
+    n_grams counts the doc's distinct n-grams and n_contaminated those also
+    present in the eval set.  Results are EXACT.
+
+    Scale shape (the 100-TB asymmetry this exploits): the eval side is
+    small — benchmarks, not corpora — so its distinct n-grams build a
+    broadcast Bloom filter; the train-side n-gram stream is prefiltered
+    JVM→UDF with zero false negatives BEFORE any shuffle (≈ all clean grams
+    drop at the scan), and the surviving sliver takes an exact broadcast
+    join that removes Bloom false positives.  The full train corpus is
+    never shuffled; per-doc aggregation shuffles only (doc_id, counts)."""
+    from ..operators import build_sketch, membership_udf
+    from ..sketches import BloomParams, BloomSketch
+
+    ev = _shingles(eval_docs, text_col, n).select("shingle").distinct()
+    n_ev = ev.count()
+    blob, _ = build_sketch(ev, BloomSketch(BloomParams(n=max(n_ev, 64), p=p)),
+                           "shingle", "str")
+    probe = membership_udf(train.sparkSession, blob, "bloom", "str")
+    tr = _shingles(train, text_col, n)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (tr.where(probe(F.col("shingle")))
+            .join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text", n: int = NGRAM,
+                       min_docs: int = 5) -> DataFrame:
+    """Boilerplate (repeated-span) detection: word n-grams appearing in ≥
+    ``min_docs`` DISTINCT docs are boilerplate (headers, footers, license
+    blocks); → (doc_id, n_grams, n_boilerplate, boilerplate_ratio).
+
+    Scale shape: document-frequency is ONE groupBy over distinct
+    (doc, shingle) pairs (map-side partial count — the classic word-count
+    shape); the boilerplate set is small by construction (only spans
+    repeated across ≥ min_docs docs survive), so the flag-back is a
+    broadcast semi-join with no second full shuffle.  Nothing is all-pairs
+    and nothing is proportional to docs²."""
+    sh = _shingles(df, text_col, n)  # distinct per doc → count == doc-freq
+    bp = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+          .where(F.col("df") >= min_docs).select("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (sh.join(F.broadcast(bp), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_boilerplate")))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"))
+            .withColumn("boilerplate_ratio",
+                        F.round(F.col("n_boilerplate") / F.col("n_grams"), 6)))
+
+
 def _verify_pairs_exact_jaccard(cand: DataFrame, sh: DataFrame,
                                 threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against

@@ -138,6 +138,23 @@ def q_lsh_neardup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- text stats
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination over the documents table: eval set = docs
+    with doc_id ≡ 0 (mod 10), train = the rest; flag train docs sharing any
+    word trigram with the eval set (dedup.contamination_check — broadcast
+    Bloom prefilter + exact confirm join)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.contamination_check(tr, ev)
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Repeated-span detection: word trigrams in ≥ 5 distinct docs are
+    boilerplate; per-doc counts + 6-dp ratio (dedup.boilerplate_ngrams)."""
+    return dedup.boilerplate_ngrams(_docs(spark, sf_dir), min_docs=5)
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -562,6 +579,8 @@ PIPELINE_QUERIES = {
     "embedding_lsh_neardup": q_lsh_neardup,
     "embedding_ivf_topk": q_ivf_topk,
     "embedding_ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+    "text_contamination_check": q_contamination_check,
+    "text_boilerplate_ngrams": q_boilerplate_ngrams,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
     "text_quality": q_quality,
@@ -585,6 +604,49 @@ PIPELINE_QUERIES = {
 }
 
 _STOP_SQL = "['the','a','an','of','to','in','and','is','on','for']"
+
+# distinct (doc_id, word-trigram) pairs — the DuckDB mirror of
+# dedup._shingles (split on ' ', sliding concat of 3, distinct per doc)
+_TRIGRAM_CTE = """words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM words
+), tg AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM pos QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+), tri AS (
+  SELECT DISTINCT doc_id, g FROM tg
+)"""
+
+_CONTAMINATION_SQL = f"""
+WITH {_TRIGRAM_CTE},
+ev AS (SELECT DISTINCT g FROM tri WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, g FROM tri WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+          FROM tr GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         FROM tr JOIN ev USING (g) GROUP BY doc_id)
+SELECT s.doc_id, s.n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+_BOILERPLATE_SQL = f"""
+WITH {_TRIGRAM_CTE},
+bp AS (SELECT g FROM (SELECT g, count(*) AS df FROM tri GROUP BY g)
+       WHERE df >= 5),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+          FROM tri GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate
+         FROM tri JOIN bp USING (g) GROUP BY doc_id)
+SELECT s.doc_id, s.n_grams,
+       CAST(COALESCE(h.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       round(CAST(COALESCE(h.n_boilerplate, 0) AS DOUBLE) / s.n_grams, 6)
+           AS boilerplate_ratio
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
 
 _JACCARD_SQL = f"""
 WITH words AS (
@@ -837,6 +899,8 @@ def pipeline_oracles() -> dict[str, str]:
         # are exact-cosine-verified — so the exact all-pairs SQL is the
         # legitimate oracle, mirroring the minhash-LSH precedent above
         "embedding_lsh_neardup": _COSINE_NEARDUP_SQL,
+        "text_contamination_check": _CONTAMINATION_SQL,
+        "text_boilerplate_ngrams": _BOILERPLATE_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

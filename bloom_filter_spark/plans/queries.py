@@ -973,6 +973,9 @@ _HEAD = [
     "hll_distinct_per_source",
     "kll_grouped_quantiles_per_source",
     "mg_grouped_heavy_hitters_per_source",
+    # new in r4 (training-data curation: decontamination + boilerplate)
+    "text_contamination_check",
+    "text_boilerplate_ngrams",
 ]
 _TAIL = [
     # green every round since r1/r2; code untouched in r4
@@ -986,6 +989,8 @@ _TAIL = [
     "text_token_count",
     "text_quality",
     "text_fingerprint",
+    "text_langid",
+    "text_token_count_bpe",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}

@@ -629,3 +629,50 @@ def test_range_join_rejects_colliding_columns(spark):
     with pytest.raises(ValueError, match="alias colliding"):
         range_join(df, df, key="k", point_ts="x", start_ts="x", end_ts="x",
                    bucket=10)
+
+
+# ------------------------------------------------- contamination / boilerplate
+def _py_trigrams(text):
+    ws = text.split(" ")
+    return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+
+def test_contamination_check_matches_python_recompute(spark, docs):
+    """Exactness of the Bloom-prefilter + confirm-join path vs a plain
+    Python recompute over the same docs (any Bloom false positive that
+    survived the confirm join, or any false negative, would diverge)."""
+    from bloom_filter_spark.functions.dedup import contamination_check
+    pdf = docs.select("doc_id", "text").toPandas()
+    ev_rows = pdf[pdf.doc_id % 10 == 0]
+    tr_rows = pdf[pdf.doc_id % 10 != 0]
+    ev_grams = set().union(*(_py_trigrams(t) for t in ev_rows.text)) \
+        if len(ev_rows) else set()
+    want = {int(r.doc_id): (len(_py_trigrams(r.text)),
+                            len(_py_trigrams(r.text) & ev_grams))
+            for r in tr_rows.itertuples()}
+    got = {int(r.doc_id): (r.n_grams, r.n_contaminated, r.contaminated)
+           for r in contamination_check(
+               docs.where(F.col("doc_id") % 10 != 0),
+               docs.where(F.col("doc_id") % 10 == 0)).collect()}
+    assert set(got) == set(want)
+    for did, (ng, nc) in want.items():
+        assert got[did] == (ng, nc, nc > 0), did
+    assert any(v[2] for v in got.values())  # fixture has real contamination
+
+
+def test_boilerplate_ngrams_matches_python_recompute(spark, docs):
+    from collections import Counter
+
+    from bloom_filter_spark.functions.dedup import boilerplate_ngrams
+    pdf = docs.select("doc_id", "text").toPandas()
+    grams = {int(r.doc_id): _py_trigrams(r.text) for r in pdf.itertuples()}
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    bp = {g for g, c in df_count.items() if c >= 5}
+    got = {int(r.doc_id): (r.n_grams, r.n_boilerplate,
+                           round(r.boilerplate_ratio, 6))
+           for r in boilerplate_ngrams(docs, min_docs=5).collect()}
+    assert set(got) == set(grams)
+    for did, gs in grams.items():
+        nb = len(gs & bp)
+        assert got[did] == (len(gs), nb, round(nb / len(gs), 6)), did
+    assert any(v[1] > 0 for v in got.values())  # boilerplate actually found
