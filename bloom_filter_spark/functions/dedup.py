@@ -61,20 +61,28 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
     present in the eval set.  Results are EXACT.
 
     Scale shape (the 100-TB asymmetry this exploits): the eval side is
-    small — benchmarks, not corpora — so its distinct n-grams build a
-    broadcast Bloom filter; the train-side n-gram stream is prefiltered
-    JVM→UDF with zero false negatives BEFORE any shuffle (≈ all clean grams
-    drop at the scan), and the surviving sliver takes an exact broadcast
-    join that removes Bloom false positives.  The full train corpus is
-    never shuffled; per-doc aggregation shuffles only (doc_id, counts)."""
-    from ..operators import build_sketch, membership_udf
+    small — benchmarks, not corpora — so its distinct n-grams are collected
+    ONCE (a single distributed scan; the collected gram set is the same
+    data the broadcast join ships anyway) and build the Bloom filter
+    driver-side; the train-side n-gram stream is prefiltered JVM→UDF with
+    zero false negatives BEFORE any shuffle (≈ all clean grams drop at the
+    scan), and the surviving sliver takes an exact broadcast join that
+    removes Bloom false positives.  The full train corpus is never
+    shuffled; per-doc aggregation shuffles only (doc_id, counts)."""
+    from ..operators import membership_udf
     from ..sketches import BloomParams, BloomSketch
 
-    ev = _shingles(eval_docs, text_col, n).select("shingle").distinct()
-    n_ev = ev.count()
-    blob, _ = build_sketch(ev, BloomSketch(BloomParams(n=max(n_ev, 64), p=p)),
-                           "shingle", "str")
-    probe = membership_udf(train.sparkSession, blob, "bloom", "str")
+    spark = train.sparkSession
+    grams = [r.shingle for r in
+             _shingles(eval_docs, text_col, n).select("shingle")
+             .distinct().collect()]
+    sketch = BloomSketch(BloomParams(n=max(len(grams), 64), p=p))
+    state = sketch.empty()
+    if grams:
+        sketch.update_str(state, grams)
+    blob = sketch.serialize(state)
+    ev = spark.createDataFrame([(g,) for g in grams], "shingle string")
+    probe = membership_udf(spark, blob, "bloom", "str")
     tr = _shingles(train, text_col, n)
     sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (tr.where(probe(F.col("shingle")))

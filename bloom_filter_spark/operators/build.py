@@ -351,19 +351,49 @@ def build_delta_shard_partials(df: DataFrame, sketch, col: str, sign_col: str,
     return sel.mapInArrow(partial_fn, SHARD_SCHEMA)
 
 
-def merge_shard_partials(partials: DataFrame, sketch) -> DataFrame:
-    """(shard_id, n_items, state)* → ONE dense row per shard: a single
-    groupBy(shard_id) counter-sum — merge parallelism = n_shards, and each
-    reducer holds one shard accumulator, never the whole filter."""
-    cls = type(sketch)
+def merge_shard_partials(partials: DataFrame, sketch,
+                         est_partials: int | None = None) -> DataFrame:
+    """(shard_id, n_items, state)* → ONE dense row per shard via
+    groupBy(shard_id) counter-sum waves — merge parallelism = n_shards, and
+    each reducer holds one shard accumulator, never the whole filter.
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    Per-task INPUT is byte-bounded too: applyInPandas materializes a whole
+    group, so a P-partition scan would hand one reducer P same-shard blobs
+    (1000 dense 8 MB partials = 8 GB in one task).  When P exceeds the
+    byte-aware fanin (merge budget / dense shard bytes), pre-merge levels
+    keyed by (shard_id, floor(src / fanin)) fold fanin-sized slices first —
+    src renumbers densely each level (same invariant as merge._tree_level),
+    so every task's input stays ≈ the merge byte budget regardless of P."""
+    from .merge import AUTO_TREE_THRESHOLD_BYTES, state_size_estimate
+    cls = type(sketch)
+    shard_sz = max(1, state_size_estimate(sketch) // sketch.shard_count())
+    fanin = max(2, int(AUTO_TREE_THRESHOLD_BYTES // shard_sz))
+    if est_partials is None:
+        est_partials = partials.rdd.getNumPartitions()
+
+    def merge_level(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("src")  # reproducible fold order
+        blob = cls.merge_shard_blobs(list(pdf["state"]))
+        return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
+                             "n_items": [int(pdf["n_items"].sum())],
+                             "state": [blob],
+                             "src": [int(pdf["grp"].iloc[0])]})
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("src")
         blob = cls.merge_shard_blobs(list(pdf["state"]))
         return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
                              "n_items": [int(pdf["n_items"].sum())],
                              "state": [blob]})
 
-    return partials.groupBy("shard_id").applyInPandas(merge_group, SHARD_SCHEMA)
+    df = partials.withColumn("src", F.spark_partition_id())
+    p = est_partials
+    while p > fanin:
+        df = (df.withColumn("grp", F.floor(F.col("src") / fanin))
+                .groupBy("shard_id", "grp")
+                .applyInPandas(merge_level, SHARD_SCHEMA + ", src int"))
+        p = -(-p // fanin)
+    return df.groupBy("shard_id").applyInPandas(merge_final, SHARD_SCHEMA)
 
 
 def build_delta_sketch_sharded(df: DataFrame, sketch, col: str, sign_col: str,
@@ -375,7 +405,9 @@ def build_delta_sketch_sharded(df: DataFrame, sketch, col: str, sign_col: str,
     order and partition order never matter)."""
     partials = build_delta_shard_partials(df, sketch, col, sign_col,
                                           value_kind, n_shards, repartition)
-    rows = merge_shard_partials(partials, sketch).collect()
+    rows = merge_shard_partials(
+        partials, sketch,
+        est_partials=partials.rdd.getNumPartitions()).collect()
     if not rows:
         return sketch.serialize(sketch.empty()), 0
     blob = type(sketch).reassemble_shards([r.state for r in rows])
@@ -516,7 +548,12 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
     ``strategy="auto"`` (default): route on estimated group cardinality —
     map-side combine while G × |state| fits the task budget, salted beyond
     it (a 10^5-group × MB-state domain would OOM every map-side task).
-    Pass ``group_cardinality`` to skip the estimate job.
+    Pass ``group_cardinality`` to skip the estimate job.  Note: for
+    ORDER-SENSITIVE sketches (KLL / t-digest / MG compaction) the two
+    routes fold in different groupings, so a data-dependent route flip can
+    change state bytes (estimates stay within each sketch's published
+    bounds — the mergeable-sketch contract); pin ``strategy=`` when
+    bit-reproducibility across runs matters more than the OOM guard.
 
     ``strategy="mapside"``: phase 1 folds each INPUT partition's
     rows into one partial per group it contains — the token data never

@@ -668,11 +668,13 @@ def test_boilerplate_ngrams_matches_python_recompute(spark, docs):
     grams = {int(r.doc_id): _py_trigrams(r.text) for r in pdf.itertuples()}
     df_count = Counter(g for gs in grams.values() for g in gs)
     bp = {g for g, c in df_count.items() if c >= 5}
-    got = {int(r.doc_id): (r.n_grams, r.n_boilerplate,
-                           round(r.boilerplate_ratio, 6))
+    got = {int(r.doc_id): (r.n_grams, r.n_boilerplate, r.boilerplate_ratio)
            for r in boilerplate_ngrams(docs, min_docs=5).collect()}
     assert set(got) == set(grams)
     for did, gs in grams.items():
         nb = len(gs & bp)
-        assert got[did] == (len(gs), nb, round(nb / len(gs), 6)), did
+        assert got[did][:2] == (len(gs), nb), did
+        # Spark F.round is HALF_UP, Python round() is banker's — compare
+        # with a tolerance wider than the 6-dp rounding step's half
+        assert abs(got[did][2] - nb / len(gs)) <= 6e-7, did
     assert any(v[1] > 0 for v in got.values())  # boilerplate actually found

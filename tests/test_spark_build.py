@@ -496,3 +496,26 @@ def test_merge_tree_level_renumbers_dense(spark):
     assert ids1 == [0, 1, 2]  # floor-div groups of the sparse ids
     ids2 = sorted(r.partition_id for r in _tree_level(lvl1, sk, 2).collect())
     assert ids2 == [0, 1]  # renumbered dense → next level packs ≤ fanin
+
+
+def test_cbloom_sharded_multilevel_merge_parity(spark, tokens_df, monkeypatch):
+    """When partials-per-shard exceed the byte-aware fanin, pre-merge
+    levels must fold fanin-sized slices first (bounding per-task input) and
+    still reassemble bit-identically to the monolithic fold."""
+    from bloom_filter_spark.operators import (build_delta_sketch,
+                                              build_delta_sketch_sharded)
+    from bloom_filter_spark.operators import merge as merge_mod
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    changelog = (tokens_df.select("doc_id", F.lit(1).alias("sign"))
+                 .repartition(8))
+
+    def fresh():
+        return CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+
+    mono, n_mono = build_delta_sketch(changelog, fresh(), "doc_id", "sign",
+                                      "str", sharded=False)
+    monkeypatch.setattr(merge_mod, "AUTO_TREE_THRESHOLD_BYTES", 1)  # fanin=2
+    blob, n = build_delta_sketch_sharded(changelog, fresh(), "doc_id",
+                                         "sign", "str", n_shards=3)
+    assert blob == mono and n == n_mono
