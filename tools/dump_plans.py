@@ -122,6 +122,46 @@ def main() -> None:
         "ignorenulls): no inequality join, no per-key explosion — both "
         "sides move exactly once.")
 
+    add("Time-sliced as-of join (hot-key skew defense)",
+        asof_join(purch, clicks, key="user_id", left_ts="purchase_ts",
+                  right_ts="ts_us", right_cols=["click_id", "click_value"],
+                  tie_col="click_id", n_slices=8),
+        "Window partitions are (key, slice) — a hot key's rows split "
+        "across slices instead of one task; the seed subplan is a per-key "
+        "running last over SLICE-LEVEL rows (≤ 2 per key per slice), never "
+        "the data. Slice boundaries come from a t-digest sketch pass.")
+
+    from bloom_filter_spark.operators import (build_delta_shard_partials,
+                                              merge_shard_partials)
+    from bloom_filter_spark.sketches import CountingBloomSketch
+    cb = CountingBloomSketch(BloomParams(n=600_005, p=0.01))
+    chg = toks.select("doc_id", F.lit(1).alias("sign"))
+    add("Sharded counting-bloom changelog fold (wide-state path)",
+        merge_shard_partials(
+            build_delta_shard_partials(chg, cb, "doc_id", "sign", "str"), cb),
+        "Scan → MapInArrow emits column-range (shard_id, state) rows at "
+        "FULL scan parallelism (no coalesce); the only Exchange carries "
+        "shard rows into groupBy(shard_id) — state width becomes merge "
+        "parallelism, and per-reducer memory is one shard, byte-bounded by "
+        "fanin pre-levels when partials-per-shard exceed the merge budget.")
+
+    add("Decontamination (broadcast Bloom prefilter + exact confirm)",
+        dedup.contamination_check(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0)),
+        "Train n-grams are generated JVM-side (transform over a sliding "
+        "sequence), prefiltered by the broadcast Bloom UDF BEFORE any "
+        "Exchange, and the confirm join is BroadcastHashJoin on the tiny "
+        "eval gram set — the train corpus never shuffles; the only "
+        "aggregation Exchange carries (doc_id, count) rows.")
+
+    add("Boilerplate n-gram detection",
+        dedup.boilerplate_ngrams(docs, min_docs=5),
+        "Document frequency is ONE partial-agg groupBy over distinct "
+        "(doc, gram) pairs (word-count shape); the boilerplate set joins "
+        "back as a BroadcastHashJoin — no second full shuffle, nothing "
+        "all-pairs.")
+
     add("Bucketed range join",
         range_join(clicks.select("user_id", "click_id",
                                  F.col("ts_us").alias("click_ts")),
