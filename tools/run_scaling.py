@@ -107,6 +107,13 @@ def main() -> None:
     lo, hi = results[pair[0]], results[pair[1]]
     ratio = hi["cpus"] / lo["cpus"]
     eff = hi["tokens_per_sec"] / (ratio * lo["tokens_per_sec"])
+    # honest-variance disclosure: the alternate 4x pairing (2,8), which
+    # dips into the contended region, is published alongside the headline
+    alt_line = ""
+    if 2 in results and 8 in results and pair != (2, 8):
+        alt_eff = results[8]["tokens_per_sec"] / (4 * results[2]["tokens_per_sec"])
+        alt_line = (f"Alternate 4× pairing (N=2 vs 4N=8, partially in the "
+                    f"contended region): {alt_eff:.3f}.\n")
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     rows = "\n".join(
@@ -132,7 +139,7 @@ executors don't pay per-job cold start).
 **Headline pairing (N={pair[0]} vs 4N={pair[1]} cores):
 scaling efficiency = throughput[{pair[1]}] / ({ratio:.0f} × throughput[{pair[0]}]) =
 {eff:.3f}** (target ≥ 0.8)
-
+{alt_line}
 ## Why N=1 vs 4N=4 is the faithful cluster stand-in on this host
 
 A pyspark task in local mode keeps TWO threads busy — the JVM thread
