@@ -110,3 +110,37 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
             .select(F.col("id").alias(id_col),
                     F.col("grp").alias(group_col),
                     F.col("weight").alias(weight_col), "logkey"))
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
+               salt: str = "") -> DataFrame:
+    """Deterministic dataset splitting (train/val/test): append a ``split``
+    column assigned by ``md5(id || salt)`` against cumulative weight
+    boundaries over [0, 2^32).
+
+    Why hash-based and not ``rand()``: the assignment is a pure function of
+    the row — reproducible across runs, partitionings, retries and engines,
+    join-free at any scale (no split table to keep), and STABLE under
+    ingestion: adding documents never reassigns existing ids, so a model
+    trained yesterday was not trained on today's test set.  Changing
+    ``salt`` re-rolls the whole assignment.  Proportions are exact in
+    expectation (each id is an independent draw from the hash's uniform)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with at least one entry")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16, 10).cast("long"))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * (1 << 32))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

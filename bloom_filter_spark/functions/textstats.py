@@ -108,3 +108,37 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         return pd.Series(out)
 
     return df.select("doc_id", classify(F.col(text_col)).alias("lang_pred"))
+
+
+def repetition_score(df: DataFrame, text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Intra-document repetition — the C4/Gopher-style quality signal:
+    → (doc_id, n_grams_total, n_grams_distinct, repetition_ratio,
+    top_gram_frac) where repetition_ratio = 1 − distinct/total (share of
+    n-gram slots that repeat an earlier occurrence) and top_gram_frac is
+    the modal n-gram's share.  Docs with fewer than ``n`` words are
+    excluded (no n-gram positions exist).
+
+    Scale shape: n-grams are generated JVM-side (transform over a sliding
+    sequence), ONE partial-agg groupBy(doc_id, gram) then a per-doc
+    aggregate — word-count shuffle volume, nothing all-pairs, no UDF."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(0), k - 1),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    per_gram = (df.where(k >= 1)
+                .select("doc_id", F.explode(grams).alias("g"))
+                .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams_total"),
+                 F.count("*").alias("n_grams_distinct"),
+                 F.max("c").alias("top_c"))
+            .select("doc_id",
+                    F.col("n_grams_total").cast("long").alias("n_grams_total"),
+                    F.col("n_grams_distinct").cast("long")
+                     .alias("n_grams_distinct"),
+                    F.round(F.lit(1.0) - F.col("n_grams_distinct")
+                            / F.col("n_grams_total"), 6)
+                     .alias("repetition_ratio"),
+                    F.round(F.col("top_c") / F.col("n_grams_total"), 6)
+                     .alias("top_gram_frac")))

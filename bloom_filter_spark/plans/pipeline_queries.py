@@ -155,6 +155,27 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return dedup.boilerplate_ngrams(_docs(spark, sf_dir), min_docs=5)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "r4"
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (sampling.hash_split):
+    md5(doc_id || salt) against cumulative weight boundaries — stable
+    under ingestion, reproducible across engines (the oracle recomputes
+    the identical hash arithmetic in DuckDB)."""
+    from ..functions import sampling
+    return sampling.hash_split(_docs(spark, sf_dir), "doc_id",
+                               _SPLIT_WEIGHTS, salt=_SPLIT_SALT) \
+        .select("doc_id", "split")
+
+
+def q_repetition_score(spark, sf_dir):
+    """Intra-document repetition quality signal (textstats.repetition_score):
+    per-doc n-gram total/distinct + repetition ratio + modal share."""
+    return textstats.repetition_score(_docs(spark, sf_dir))
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -581,6 +602,8 @@ PIPELINE_QUERIES = {
     "embedding_ivf_topk_fullprobe": q_ivf_topk_fullprobe,
     "text_contamination_check": q_contamination_check,
     "text_boilerplate_ngrams": q_boilerplate_ngrams,
+    "docs_hash_split": q_hash_split,
+    "text_repetition_score": q_repetition_score,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
     "text_quality": q_quality,
@@ -646,6 +669,46 @@ SELECT s.doc_id, s.n_grams,
        round(CAST(COALESCE(h.n_boilerplate, 0) AS DOUBLE) / s.n_grams, 6)
            AS boilerplate_ratio
 FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+def _split_sql() -> str:
+    """Mirror of sampling.hash_split's boundary arithmetic with the SAME
+    integer boundary literals (int(cum_frac * 2^32), truncating)."""
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        cases.append(f"WHEN h < {int(acc * (1 << 32))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{_SPLIT_SALT}'), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents)
+"""
+
+
+_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM words
+), tg AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM pos QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+), per AS (
+  SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams_total,
+       CAST(count(*) AS BIGINT) AS n_grams_distinct,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS repetition_ratio,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_gram_frac
+FROM per GROUP BY doc_id
 """
 
 _JACCARD_SQL = f"""
@@ -901,6 +964,8 @@ def pipeline_oracles() -> dict[str, str]:
         "embedding_lsh_neardup": _COSINE_NEARDUP_SQL,
         "text_contamination_check": _CONTAMINATION_SQL,
         "text_boilerplate_ngrams": _BOILERPLATE_SQL,
+        "docs_hash_split": _split_sql(),
+        "text_repetition_score": _REPETITION_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

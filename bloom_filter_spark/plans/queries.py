@@ -412,6 +412,36 @@ def q_kmv_source_intersection(spark, sf_dir):
         "within_bound boolean")
 
 
+def q_kmv_source_difference(spark, sf_dir):
+    """Theta-sketch A-NOT-B: distinct tokens in the largest source but NOT
+    the second, answered from the same per-source KMV states (θ-cut set
+    minus, kmv.py:difference_estimate) — completes the union /
+    intersection / difference set algebra over mergeable states.  Checked
+    against the exact SQL EXCEPT; bound driven by the union's sampling
+    error (6·rse·|A∪B|)."""
+    from ..sketches import KMVParams, KMVSketch
+    toks = _tokens(spark, sf_dir)
+    sk = KMVSketch(KMVParams(k=4096))
+    grouped = build_grouped(toks, sk, "source", "tokens", "i32_array")
+    states = {r.group: KMVSketch.deserialize(bytes(r.state))[1]
+              for r in grouped.collect()}
+    counts = {r.source: r.c for r in
+              toks.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    (src_a, _), (src_b, _) = sorted(counts.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[:2]
+    est = sk.difference_estimate(states[src_a], states[src_b])
+    flat = toks.select("source", F.explode("tokens").alias("t"))
+    ta = flat.where(F.col("source") == src_a).select("t").distinct()
+    tb = flat.where(F.col("source") == src_b).select("t").distinct()
+    exact_diff = ta.exceptAll(tb).count()
+    exact_union = ta.union(tb).distinct().count()
+    ok = abs(est - exact_diff) <= 6 * sk.params.rse * exact_union
+    return spark.createDataFrame(
+        [(src_a, src_b, int(exact_diff), bool(ok))],
+        "source_a string, source_b string, exact_diff bigint, "
+        "within_bound boolean")
+
+
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
     path: 45% of rows share one source).  The map-side strategy is proven
@@ -773,6 +803,7 @@ SKETCH_QUERIES = {
     "hll_distinct_per_source": q_hll_distinct_per_source,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "kmv_source_intersection": q_kmv_source_intersection,
+    "kmv_source_difference": q_kmv_source_difference,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -874,6 +905,23 @@ def sketch_oracles() -> dict[str, str]:
                          SELECT t FROM tb)) AS BIGINT) AS exact_common,
                    TRUE AS within_bound
         """,
+        "kmv_source_difference": f"""
+            WITH top2 AS (
+              SELECT source, row_number() OVER (ORDER BY count(*) DESC,
+                                                source ASC) AS rk
+              FROM {tok} GROUP BY source
+            ),
+            flat AS (SELECT source, unnest(tokens) AS t FROM {tok}),
+            ta AS (SELECT DISTINCT t FROM flat
+                   WHERE source = (SELECT source FROM top2 WHERE rk = 1)),
+            tb AS (SELECT DISTINCT t FROM flat
+                   WHERE source = (SELECT source FROM top2 WHERE rk = 2))
+            SELECT (SELECT source FROM top2 WHERE rk = 1) AS source_a,
+                   (SELECT source FROM top2 WHERE rk = 2) AS source_b,
+                   CAST((SELECT count(*) FROM (SELECT t FROM ta EXCEPT
+                         SELECT t FROM tb)) AS BIGINT) AS exact_diff,
+                   TRUE AS within_bound
+        """,
         "cms_heavy_hitters": f"""
             SELECT token, exact_cnt, TRUE AS cms_ok FROM (
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
@@ -973,9 +1021,13 @@ _HEAD = [
     "hll_distinct_per_source",
     "kll_grouped_quantiles_per_source",
     "mg_grouped_heavy_hitters_per_source",
-    # new in r4 (training-data curation: decontamination + boilerplate)
+    # new in r4 (training-data curation: decontamination + boilerplate +
+    # deterministic splits + repetition signal + theta A-NOT-B)
     "text_contamination_check",
     "text_boilerplate_ngrams",
+    "docs_hash_split",
+    "text_repetition_score",
+    "kmv_source_difference",
 ]
 _TAIL = [
     # green every round since r1/r2; code untouched in r4
@@ -991,6 +1043,9 @@ _TAIL = [
     "text_fingerprint",
     "text_langid",
     "text_token_count_bpe",
+    "bloom_doc_membership",
+    "blocked_bloom_membership",
+    "cuckoo_doc_membership",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}

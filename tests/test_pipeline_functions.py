@@ -678,3 +678,63 @@ def test_boilerplate_ngrams_matches_python_recompute(spark, docs):
         # with a tolerance wider than the 6-dp rounding step's half
         assert abs(got[did][2] - nb / len(gs)) <= 6e-7, did
     assert any(v[1] > 0 for v in got.values())  # boilerplate actually found
+
+
+# --------------------------------------------------- hash split / repetition
+def test_hash_split_deterministic_and_stable(spark, docs):
+    """Split assignment must equal a hashlib recompute of the same md5
+    arithmetic (engine-independence), be stable under ingestion (subset
+    rows keep their assignment), roughly respect proportions, and re-roll
+    under a different salt."""
+    import hashlib
+
+    from bloom_filter_spark.functions.sampling import hash_split
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split
+           for r in hash_split(docs, "doc_id", weights, salt="s1")
+           .select("doc_id", "split").collect()}
+
+    def expect(did):
+        h = int(hashlib.md5(f"{did}s1".encode()).hexdigest()[:8], 16)
+        if h < int(0.8 * (1 << 32)):
+            return "train"
+        if h < int(0.9 * (1 << 32)):
+            return "val"
+        return "test"
+
+    assert got == {did: expect(did) for did in got}
+    frac = sum(1 for s in got.values() if s == "train") / len(got)
+    assert 0.7 < frac < 0.9
+    # stability: a subset re-split assigns identically
+    sub = {r.doc_id: r.split
+           for r in hash_split(docs.limit(100), "doc_id", weights, salt="s1")
+           .select("doc_id", "split").collect()}
+    assert all(got[d] == s for d, s in sub.items())
+    # different salt re-rolls
+    other = {r.doc_id: r.split
+             for r in hash_split(docs, "doc_id", weights, salt="s2")
+             .select("doc_id", "split").collect()}
+    assert other != got
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {})
+
+
+def test_repetition_score_matches_python_recompute(spark, docs):
+    from collections import Counter
+
+    from bloom_filter_spark.functions.textstats import repetition_score
+    pdf = docs.select("doc_id", "text").toPandas()
+    got = {int(r.doc_id): r for r in repetition_score(docs).collect()}
+    for row in pdf.itertuples():
+        ws = row.text.split(" ")
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        if not grams:
+            assert int(row.doc_id) not in got
+            continue
+        c = Counter(grams)
+        g = got[int(row.doc_id)]
+        assert g.n_grams_total == len(grams)
+        assert g.n_grams_distinct == len(c)
+        assert abs(g.repetition_ratio - (1 - len(c) / len(grams))) <= 6e-7
+        assert abs(g.top_gram_frac - max(c.values()) / len(grams)) <= 6e-7
+    assert any(g.repetition_ratio > 0 for g in got.values())
