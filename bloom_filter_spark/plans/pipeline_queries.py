@@ -270,6 +270,55 @@ def q_streaming_windowed_counts(spark, sf_dir):
         "event_type", F.col("n").cast("long").alias("n"), "sum_value")
 
 
+def q_streaming_windowed_distinct(spark, sf_dir):
+    """Streaming × sketch: per-hour distinct users via HLL states folded
+    per micro-batch (GroupedStreamAccumulator over a 4-file availableNow
+    stream).  Commutative register-max ⇒ the streamed per-window states are
+    bit-equal to ONE batch grouped build under any file split (pinned by
+    the ``streaming_equals_batch`` column); each window's estimate is
+    checked within 6σ of the exact distinct (bloom_membership_fpr
+    pattern — the oracle pins the exact counts and the booleans)."""
+    from ..operators import build_grouped
+    from ..sketches import HLLParams, HLLSketch
+    from ..streaming.stream_build import (GroupedStreamAccumulator,
+                                          _run_stream_fold)
+    path = _events_stream_dir(sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def prep(df):
+        return df.select(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("group"),
+            F.col("user_id").alias("v"))
+
+    sk = HLLSketch(HLLParams(b=12))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        acc = _run_stream_fold(spark, path, events.schema,
+                               GroupedStreamAccumulator(sk, prep, "i64"), 1)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    stream_blobs = acc.blobs()
+    batch_blobs = {r.group: bytes(r.state) for r in build_grouped(
+        prep(events), sk, "group", "v", "i64", strategy="mapside").collect()}
+    equal = batch_blobs == stream_blobs and acc.epochs >= 2
+    exact = {r.group: r.d for r in prep(events).groupBy("group")
+             .agg(F.countDistinct("v").alias("d")).collect()}
+    rse = 1.04 / (2 ** (sk.params.b / 2))
+    rows = []
+    for g in sorted(exact):
+        _, st = HLLSketch.deserialize(stream_blobs[g])
+        est = sk.estimate(st)
+        # +3 absolute slack: 6σ of a relative bound is vacuous for
+        # single-digit windows
+        ok = abs(est - exact[g]) <= 6 * rse * exact[g] + 3
+        rows.append((g, int(exact[g]), bool(ok), bool(equal)))
+    return spark.createDataFrame(
+        rows, "window_start string, exact_distinct bigint, "
+              "within_bound boolean, streaming_equals_batch boolean")
+
+
 _LATE_T0 = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned base epoch
 _LATE_DELAY = 5400  # 90-minute watermark
 
@@ -612,6 +661,7 @@ PIPELINE_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
+    "streaming_windowed_distinct_hll": q_streaming_windowed_distinct,
     "streaming_late_data_drop": q_streaming_late_data_drop,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
@@ -1070,6 +1120,14 @@ def pipeline_oracles() -> dict[str, str]:
                    event_type, CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_windowed_distinct_hll": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound,
+                   TRUE AS streaming_equals_batch
+            FROM events GROUP BY 1
         """,
         "events_sessionize": """
             WITH g AS (

@@ -1028,6 +1028,7 @@ _HEAD = [
     "docs_hash_split",
     "text_repetition_score",
     "kmv_source_difference",
+    "streaming_windowed_distinct_hll",
 ]
 _TAIL = [
     # green every round since r1/r2; code untouched in r4
@@ -1046,6 +1047,7 @@ _TAIL = [
     "bloom_doc_membership",
     "blocked_bloom_membership",
     "cuckoo_doc_membership",
+    "mg_heavy_hitters",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}

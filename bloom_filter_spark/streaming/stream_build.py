@@ -52,6 +52,43 @@ class StreamingSketchAccumulator:
         return self.sketch.serialize(self.state)
 
 
+class GroupedStreamAccumulator:
+    """foreachBatch fold of per-GROUP sketch states: each micro-batch runs
+    the grouped mergeable build on the batch DataFrame and merges the
+    resulting states into a dict keyed by group.  Commutative merges ⇒
+    final states are bit-equal to ONE batch grouped build under any
+    micro-batch/file split — the property the driver query pins with its
+    ``streaming_equals_batch`` column.  ``prep`` projects the batch to
+    (group string, v) rows (e.g. a tumbling-window bucket as the group)."""
+
+    def __init__(self, sketch, prep, value_kind: str):
+        self.sketch = sketch
+        self.prep = prep
+        self.value_kind = value_kind
+        self.states: dict[str, object] = {}
+        self.n_items: dict[str, int] = {}
+        self.epochs = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators import build_grouped
+        grouped = build_grouped(self.prep(batch_df), self.sketch, "group",
+                                "v", self.value_kind, strategy="mapside")
+        cls = type(self.sketch)
+        for r in grouped.collect():
+            _, st = cls.deserialize(bytes(r.state))
+            if r.group in self.states:
+                self.states[r.group] = self.sketch.merge(self.states[r.group], st)
+            else:
+                self.states[r.group] = st
+            self.n_items[r.group] = self.n_items.get(r.group, 0) + r.n_items
+        self.epochs += 1
+
+    def blobs(self) -> dict[str, bytes]:
+        return {g: self.sketch.serialize(s) for g, s in self.states.items()}
+
+
 def _run_stream_fold(spark: SparkSession, source_dir: str, schema, acc,
                      max_files_per_trigger: int):
     """Drive a file-source stream to completion through ``acc``."""

@@ -135,3 +135,29 @@ def test_streaming_changelog_retractions_equals_batch(spark, tmp_path):
     assert (state >= 0).all()
     assert cb2.contains_str(state, kept).all()
     assert cb2.contains_str(state, gone).mean() <= 0.05
+
+
+def test_streaming_grouped_hll_equals_batch(spark, multi_file_tokens):
+    """Per-GROUP streaming fold (GroupedStreamAccumulator): folding a
+    4-file stream per micro-batch must produce per-source HLL states
+    bit-equal to one batch grouped build (register-max commutes), with
+    per-group n_items preserved."""
+    from bloom_filter_spark.operators import build_grouped
+    from bloom_filter_spark.streaming.stream_build import (
+        GroupedStreamAccumulator, _run_stream_fold)
+    src, schema = multi_file_tokens
+    sketch = HLLSketch(HLLParams(b=12))
+
+    def prep(df):
+        return df.select(F.col("source").alias("group"),
+                         F.col("tokens").alias("v"))
+
+    acc = _run_stream_fold(
+        spark, src, schema,
+        GroupedStreamAccumulator(sketch, prep, "i32_array"), 1)
+    assert acc.epochs == 4
+    batch = {r.group: (int(r.n_items), bytes(r.state)) for r in build_grouped(
+        prep(spark.read.parquet(src)), sketch, "group", "v", "i32_array",
+        strategy="mapside").collect()}
+    got = {g: (acc.n_items[g], b) for g, b in acc.blobs().items()}
+    assert got == batch and len(batch) > 1
