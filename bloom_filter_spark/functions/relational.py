@@ -90,3 +90,45 @@ def lineitem_shipdate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_items"),
                  F.sum("l_quantity").alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 4).alias("sum_price")))
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem with
+    the dimension side broadcast, revenue top-10.  Selective filters sit
+    directly on each scan (pushdown), the fact join keys are narrow
+    projections, and the top-10 over the ROUNDED revenue with an orderkey
+    tiebreak is deterministic across engines."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"), "revenue"))
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: pure filter + global agg — the
+    pushdown showcase (every predicate reaches the parquet scan; no joins,
+    no shuffle beyond the single-row final agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 4).alias("revenue"),
+                 F.count("*").alias("n_items")))

@@ -470,6 +470,14 @@ def q_tpch_q1(spark, sf_dir):
     return relational.tpch_q1(spark, sf_dir)
 
 
+def q_tpch_q3(spark, sf_dir):
+    return relational.tpch_q3(spark, sf_dir)
+
+
+def q_tpch_q6(spark, sf_dir):
+    return relational.tpch_q6(spark, sf_dir)
+
+
 def q_top_customer_per_nation(spark, sf_dir):
     return relational.top_customer_per_nation(spark, sf_dir)
 
@@ -665,6 +673,8 @@ PIPELINE_QUERIES = {
     "streaming_late_data_drop": q_streaming_late_data_drop,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
     "event_type_stats": q_event_type_stats,
@@ -1087,6 +1097,32 @@ def pipeline_oracles() -> dict[str, str]:
                   WHERE o_totalprice > 150000) o
               ON lineitem.l_orderkey = o.o_orderkey
             GROUP BY l_returnflag
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   revenue
+            FROM (
+              SELECT l_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                         AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < DATE '1995-03-15'
+                AND l_shipdate > DATE '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate)
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1994-01-01'
+              AND l_shipdate < DATE '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

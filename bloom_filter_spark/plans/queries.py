@@ -1029,6 +1029,8 @@ _HEAD = [
     "text_repetition_score",
     "kmv_source_difference",
     "streaming_windowed_distinct_hll",
+    "tpch_q3",
+    "tpch_q6",
 ]
 _TAIL = [
     # green every round since r1/r2; code untouched in r4
@@ -1048,6 +1050,8 @@ _TAIL = [
     "blocked_bloom_membership",
     "cuckoo_doc_membership",
     "mg_heavy_hitters",
+    "reservoir_sample",
+    "multimodal_meta",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}
