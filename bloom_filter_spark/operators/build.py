@@ -314,10 +314,12 @@ def build_delta_shard_partials(df: DataFrame, sketch, col: str, sign_col: str,
     Scan parallelism is NEVER coalesced here (that is the point): the merge
     is a single groupBy(shard_id) with one reducer per shard, so a 1000-task
     scan of a 10^10-cell filter shuffles data-proportional bytes into
-    width-proportional parallel reducers.  Per-task transient memory is one
-    dense local array (m × 4 B) — the same transient the monolithic fold
-    holds before serializing.  ``n_items`` rides only shard-0 rows so the
-    global count sums cleanly."""
+    width-proportional parallel reducers.  Per-task transient memory is
+    data-proportional too: partitions accumulate sparse (cell, ±delta)
+    pairs (12 B per key-hash) and only materialize the dense local array
+    once the pairs would outweigh it (≥ m/3 entries) — a small partition
+    against a 10^10-cell filter never allocates the filter.  ``n_items``
+    rides only shard-0 rows so the global count sums cleanly."""
     if not hasattr(sketch, "serialize_shard"):
         raise ValueError(f"{sketch.kind} does not support sharded states")
     sel = (df.where(F.col(col).isNotNull() & F.col(sign_col).isNotNull())
@@ -330,22 +332,54 @@ def build_delta_shard_partials(df: DataFrame, sketch, col: str, sign_col: str,
     updater = f"update_delta_{value_kind}"
     if not hasattr(sketch, updater):
         raise ValueError(f"{sketch.kind} does not support signed updates")
+    # entries beyond which the sparse pair buffers (12 B each) cost more
+    # than the dense array (4 B per cell) — switch point of the fold
+    dense_break = sketch.params.m // 3
 
     def partial_fn(batches):
         import pyarrow as pa
-        state = sketch.empty()
+        dense = None
+        idx_chunks, d_chunks, entries = [], [], 0
         n = 0
         for b in batches:
             vals = _arrow_values(b.column(0), value_kind)
             signs = b.column(1).to_numpy(zero_copy_only=False).astype(np.int32)
-            if len(vals):
-                getattr(sketch, updater)(state, vals, signs)
-                n += len(vals)
+            if len(vals) == 0:
+                continue
+            n += len(vals)
+            if dense is None:
+                ci, cd = sketch.delta_cells(vals, signs, value_kind)
+                idx_chunks.append(ci)
+                d_chunks.append(cd)
+                entries += ci.size
+                if entries > dense_break:  # sparse no longer pays — switch
+                    dense = sketch.empty()
+                    for a, dl in zip(idx_chunks, d_chunks):
+                        np.add.at(dense, a, dl)
+                    idx_chunks, d_chunks = [], []
+            else:
+                getattr(sketch, updater)(dense, vals, signs)
+        if dense is not None:
+            blobs = [sketch.serialize_shard(dense, i, n_shards)
+                     for i in range(n_shards)]
+        else:
+            idx = (np.concatenate(idx_chunks) if idx_chunks
+                   else np.empty(0, np.int64))
+            dl = (np.concatenate(d_chunks) if d_chunks
+                  else np.empty(0, np.int32))
+            # one sort, then each shard slices its contiguous cell range —
+            # emission is O(E log E + shards), not O(shards × E)
+            order = np.argsort(idx, kind="stable")
+            idx, dl = idx[order], dl[order]
+            lows = [sketch.shard_bounds(i, n_shards)[0] for i in range(n_shards)]
+            cuts = np.searchsorted(idx, lows + [sketch.params.m])
+            blobs = [sketch.serialize_shard_from_cells(
+                idx[cuts[i]:cuts[i + 1]], dl[cuts[i]:cuts[i + 1]],
+                i, n_shards) for i in range(n_shards)]
         yield pa.RecordBatch.from_pydict({
             "shard_id": pa.array(list(range(n_shards)), pa.int32()),
             "n_items": pa.array([n] + [0] * (n_shards - 1), pa.int64()),
-            "state": pa.array([sketch.serialize_shard(state, i, n_shards)
-                               for i in range(n_shards)], pa.binary()),
+            "state": pa.array(blobs, pa.binary()),
         })
 
     return sel.mapInArrow(partial_fn, SHARD_SCHEMA)

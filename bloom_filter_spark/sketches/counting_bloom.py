@@ -201,11 +201,9 @@ class CountingBloomSketch:
         m = self.params.m
         return shard_id * m // n_shards, (shard_id + 1) * m // n_shards
 
-    def serialize_shard(self, state: np.ndarray, shard_id: int,
-                        n_shards: int) -> bytes:
+    def _emit_segment(self, seg: np.ndarray, shard_id: int,
+                      n_shards: int) -> bytes:
         p = self.params
-        lo, hi = self.shard_bounds(shard_id, n_shards)
-        seg = state[lo:hi]
         header = (pack_u32(p.m) + pack_u32(p.k) + pack_u64(p.seed)
                   + pack_u32(n_shards) + pack_u32(shard_id))
         nz = np.flatnonzero(seg)
@@ -214,6 +212,37 @@ class CountingBloomSketch:
                     + nz.astype("<u4").tobytes()
                     + seg[nz].astype("<i4").tobytes())
         return header + b"\x00" + seg.astype("<i4").tobytes()
+
+    def serialize_shard(self, state: np.ndarray, shard_id: int,
+                        n_shards: int) -> bytes:
+        lo, hi = self.shard_bounds(shard_id, n_shards)
+        return self._emit_segment(state[lo:hi], shard_id, n_shards)
+
+    # -- sparse accumulation (per-task memory ∝ data, not filter width) ----
+    def delta_cells(self, values, signs, kind: str
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hashed (cell index, ±delta) pairs for a batch — k entries per
+        key, NO dense array.  np.add.at of these pairs reproduces
+        _apply_delta exactly (addition commutes over duplicates)."""
+        h = self._hash(values, kind)
+        idx = self._indices(h)  # (k, N)
+        d = np.asarray(signs, _DTYPE)
+        if d.ndim == 0:
+            d = np.full(h.size, d, _DTYPE)
+        return idx.ravel(), np.tile(d, self.params.k)
+
+    def serialize_shard_from_cells(self, idx: np.ndarray, delta: np.ndarray,
+                                   shard_id: int, n_shards: int) -> bytes:
+        """Shard blob straight from sparse (cell, delta) pairs: transient
+        memory = one shard segment + the pairs, never the full counter
+        array.  ``idx`` may contain cells outside the shard (they are
+        masked) and duplicate cells (they sum)."""
+        lo, hi = self.shard_bounds(shard_id, n_shards)
+        seg = np.zeros(hi - lo, dtype=_DTYPE)
+        m_ = (idx >= lo) & (idx < hi)
+        if m_.any():
+            np.add.at(seg, idx[m_] - lo, delta[m_])
+        return self._emit_segment(seg, shard_id, n_shards)
 
     _SHARD_HEADER_LEN = 24
 

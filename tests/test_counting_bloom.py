@@ -165,3 +165,23 @@ def test_shard_merge_refuses_mismatched_identity():
 def test_counting_bloom_rejects_xxh3_params():
     with pytest.raises(ValueError, match="splitmix64"):
         CountingBloomSketch(BloomParams(n=100, p=0.01, hash_family="xxh3"))
+
+
+def test_delta_cells_equivalence_and_cell_serialization():
+    """Sparse accumulation building blocks: np.add.at of delta_cells pairs
+    must reproduce _apply_delta exactly, and serialize_shard_from_cells
+    must equal serialize_shard of the materialized state (out-of-range and
+    duplicate cells included)."""
+    cb = CountingBloomSketch(BloomParams(n=2000, p=0.01))
+    keys = _keys(1500, seed=5)
+    signs = np.where(_keys(1500, seed=6) % 3 == 0, -1, 1).astype(np.int32)
+    dense = cb.empty()
+    cb.update_delta_i32(dense, keys, signs)
+    idx, d = cb.delta_cells(keys, signs, "i32")
+    replay = cb.empty()
+    np.add.at(replay, idx, d)
+    np.testing.assert_array_equal(replay, dense)
+    for n_shards in (1, 4, 7):
+        for i in range(n_shards):
+            assert cb.serialize_shard_from_cells(idx, d, i, n_shards) == \
+                cb.serialize_shard(dense, i, n_shards)

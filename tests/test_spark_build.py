@@ -519,3 +519,30 @@ def test_cbloom_sharded_multilevel_merge_parity(spark, tokens_df, monkeypatch):
     blob, n = build_delta_sketch_sharded(changelog, fresh(), "doc_id",
                                          "sign", "str", n_shards=3)
     assert blob == mono and n == n_mono
+
+
+def test_cbloom_sharded_sparse_and_dense_switch_parity(spark, tokens_df):
+    """The sparse-accumulation fold must be bit-identical to the monolithic
+    path in BOTH regimes: a wide filter where partitions stay sparse end to
+    end, and a narrow filter where every partition crosses the m/3
+    break-even and switches to the dense array mid-fold."""
+    from bloom_filter_spark.operators import (build_delta_sketch,
+                                              build_delta_sketch_sharded)
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    with_par = tokens_df.select("doc_id", parity)
+    changelog = (with_par.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(with_par.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign")))
+                 ).repartition(8, "sign")
+    # wide filter: per-partition entries ≪ m/3 → pure sparse emission
+    # narrow filter: entries ≫ m/3 → switches to dense mid-fold
+    for cap in (200_000, 300):
+        mono, n_mono = build_delta_sketch(
+            changelog, CountingBloomSketch(BloomParams(n=cap, p=0.01)),
+            "doc_id", "sign", "str", sharded=False)
+        blob, n = build_delta_sketch_sharded(
+            changelog, CountingBloomSketch(BloomParams(n=cap, p=0.01)),
+            "doc_id", "sign", "str", n_shards=5)
+        assert blob == mono and n == n_mono, cap
