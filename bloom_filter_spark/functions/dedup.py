@@ -38,15 +38,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
                  F.min("doc_id").alias("keep_doc_id")))
 
 
-def _shingles(df: DataFrame, text_col: str, n: int = NGRAM) -> DataFrame:
-    """(doc_id, shingle) distinct word-n-grams, built with JVM array ops:
-    transform over a sliding index sequence — no Python, no per-row loop."""
+def gram_array(text_col: str, n: int = NGRAM):
+    """Column of a text's word n-grams IN ORDER (with repeats), built with
+    JVM array ops: transform over a sliding index sequence — no Python, no
+    per-row loop.  The single definition shared by every n-gram operator
+    (shingling, repetition scoring) so the gram construction cannot
+    drift."""
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - (n - 1)
-    grams = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    ), k
+
+
+def _shingles(df: DataFrame, text_col: str, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-grams per doc."""
+    grams, k = gram_array(text_col, n)
     return (df.where(k >= 1)
             .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")))
 

@@ -125,8 +125,13 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
     trained yesterday was not trained on today's test set.  Changing
     ``salt`` re-rolls the whole assignment.  Proportions are exact in
     expectation (each id is an independent draw from the hash's uniform)."""
-    if not weights or any(w < 0 for w in weights.values()):
-        raise ValueError("weights must be non-negative with at least one entry")
+    import math
+    # `not (w >= 0)` (not `w < 0`) so NaN weights are rejected here rather
+    # than crashing opaquely at the boundary arithmetic below
+    if not weights or any(not (math.isfinite(w) and w >= 0)
+                          for w in weights.values()):
+        raise ValueError(
+            "weights must be finite and non-negative with at least one entry")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -143,4 +148,9 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
+    # a NULL id has no stable hash — its split is NULL, never a silent
+    # assignment to the catch-all (last) split, which would concentrate
+    # every null-id row in the held-out set
+    split = F.when(F.col(id_col).isNull(),
+                   F.lit(None).cast("string")).otherwise(split)
     return df.withColumn("split", split)

@@ -119,13 +119,12 @@ def repetition_score(df: DataFrame, text_col: str = "text",
     the modal n-gram's share.  Docs with fewer than ``n`` words are
     excluded (no n-gram positions exist).
 
-    Scale shape: n-grams are generated JVM-side (transform over a sliding
-    sequence), ONE partial-agg groupBy(doc_id, gram) then a per-doc
-    aggregate — word-count shuffle volume, nothing all-pairs, no UDF."""
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(F.sequence(F.lit(0), k - 1),
-                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    Scale shape: n-grams are generated JVM-side (dedup.gram_array — the
+    one shared gram definition), ONE partial-agg groupBy(doc_id, gram)
+    then a per-doc aggregate — word-count shuffle volume, nothing
+    all-pairs, no UDF."""
+    from .dedup import gram_array
+    grams, k = gram_array(text_col, n)
     per_gram = (df.where(k >= 1)
                 .select("doc_id", F.explode(grams).alias("g"))
                 .groupBy("doc_id", "g").agg(F.count("*").alias("c")))

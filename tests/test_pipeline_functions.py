@@ -738,3 +738,13 @@ def test_repetition_score_matches_python_recompute(spark, docs):
         assert abs(g.repetition_ratio - (1 - len(c) / len(grams))) <= 6e-7
         assert abs(g.top_gram_frac - max(c.values()) / len(grams)) <= 6e-7
     assert any(g.repetition_ratio > 0 for g in got.values())
+
+
+def test_hash_split_rejects_nan_and_nulls_get_null_split(spark):
+    from bloom_filter_spark.functions.sampling import hash_split
+    with pytest.raises(ValueError, match="finite"):
+        hash_split(spark.range(1), "id", {"train": float("nan"), "t": 0.1})
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(
+        df, "doc_id", {"a": 0.5, "b": 0.5}).collect()}
+    assert got[1] in ("a", "b") and got[None] is None
