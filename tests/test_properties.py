@@ -125,3 +125,36 @@ def test_bytes_hash_injective_on_length_extension(b):
     h1 = hashing.hash64_bytes(np.array([b], dtype=bytes), 1)[0]
     h2 = hashing.hash64_bytes(np.array([b + b"."], dtype=bytes), 1)[0]
     assert h1 != h2
+
+
+@given(keys,
+       st.lists(st.integers(-1, 1).filter(lambda s: s != 0),
+                min_size=1, max_size=500),
+       st.integers(1, 9), st.integers(2, 5))
+@settings(max_examples=40, deadline=None)
+def test_cbloom_shard_cycle_any_state(vals, signs, n_shards, n_parts):
+    """Sharded serde cycle quantified over arbitrary signed states, shard
+    counts (including non-dividing) and partition splits: per-partition
+    sparse cell emission → per-shard merge → reassembly must equal the
+    monolithic serialize() of the sequential fold bit-for-bit — even when
+    intermediate partitions hold locally-negative counters."""
+    from bloom_filter_spark.sketches import CountingBloomSketch
+    cb = CountingBloomSketch(BloomParams(n=200, p=0.02))
+    m = min(len(vals), len(signs))
+    arr = np.array(vals[:m], np.int32)
+    sgn = np.array(signs[:m], np.int32)
+    whole = cb.empty()
+    cb.update_delta_i32(whole, arr, sgn)
+
+    bounds = np.linspace(0, m, n_parts + 1).astype(int)
+    shard_blobs = []
+    for p_ in range(n_parts):
+        part, ps = arr[bounds[p_]:bounds[p_ + 1]], sgn[bounds[p_]:bounds[p_ + 1]]
+        idx, d = (cb.delta_cells(part, ps, "i32") if part.size
+                  else (np.empty(0, np.int64), np.empty(0, np.int32)))
+        shard_blobs.append([cb.serialize_shard_from_cells(idx, d, i, n_shards)
+                            for i in range(n_shards)])
+    merged = [CountingBloomSketch.merge_shard_blobs(
+        [shard_blobs[p_][i] for p_ in range(n_parts)])
+        for i in range(n_shards)]
+    assert CountingBloomSketch.reassemble_shards(merged) == cb.serialize(whole)
