@@ -154,3 +154,82 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
     split = F.when(F.col(id_col).isNull(),
                    F.lit(None).cast("string")).otherwise(split)
     return df.withColumn("split", split)
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
+                           rates: dict[str, float], default_rate: float = 1.0,
+                           salt: str = "") -> DataFrame:
+    """Deterministic per-stratum downsampling (language/source balancing):
+    keep a row iff ``md5(id || salt)`` falls under its stratum's rate
+    threshold over [0, 2^32).
+
+    The keep decision is a pure function of (id, salt) — reproducible
+    across runs/engines, join-free, and CONSISTENT across strata: the same
+    id is compared against the same point of the hash space everywhere, so
+    raising a rate strictly grows the kept set (nested samples — rerunning
+    curation with a higher budget never drops previously kept docs).
+    Strata not in ``rates`` use ``default_rate``."""
+    import math
+    for name, r in rates.items():
+        if not (math.isfinite(r) and 0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+    if not (math.isfinite(default_rate) and 0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16, 10).cast("long"))
+    thr = F.lit(int(default_rate * (1 << 32)))
+    for name, r in rates.items():
+        thr = F.when(F.col(stratum_col) == name,
+                     F.lit(int(r * (1 << 32)))).otherwise(thr)
+    return df.where(F.col(id_col).isNotNull() & (h < thr))
+
+
+def pack_offsets(df: DataFrame, id_col: str, len_col: str,
+                 budget: int, num_partitions: int | None = None) -> DataFrame:
+    """Concat-then-chunk packing layout (the LLM pretraining staple):
+    documents concatenated in ``id_col`` order and split into fixed
+    ``budget``-token context windows; → (id, len, start_offset, bin_id,
+    bin_offset) where start_offset is the doc's position in the global
+    token stream, bin_id = start_offset div budget and bin_offset its
+    position inside that window (docs may straddle windows — exactly the
+    pretraining layout).
+
+    Spark-first DISTRIBUTED PREFIX SUM — a single global-order window would
+    serialize into one task, so instead: repartitionByRange on the id
+    (partition p holds the p-th id range), a per-partition running-sum
+    window, and per-partition base offsets from a P-row aggregate folded on
+    the driver and mapped back in-plan.  Total shuffle = one range exchange
+    of (id, len) plus P tiny rows; no global sort materializes."""
+    bi = int(budget)
+    if bi <= 0:
+        raise ValueError("budget must be positive")
+    sel = (df.where(F.col(id_col).isNotNull()
+                    & F.col(len_col).isNotNull() & (F.col(len_col) >= 0))
+           .select(F.col(id_col).alias("_id"),
+                   F.col(len_col).cast("long").alias("_len")))
+    if num_partitions:
+        sel = sel.repartitionByRange(num_partitions, "_id")
+    else:
+        sel = sel.repartitionByRange("_id")
+    part = sel.withColumn("_p", F.spark_partition_id())
+    # per-partition running sum in id order (partition = contiguous range)
+    w = (Window.partitionBy("_p").orderBy("_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = part.withColumn("_cum", F.sum("_len").over(w))
+    # P partial sums -> driver fold -> base offset per partition, mapped
+    # back as a literal CASE (P entries, no join shuffle)
+    totals = {r._p: r.t for r in
+              part.groupBy("_p").agg(F.sum("_len").alias("t")).collect()}
+    base_map, acc = {}, 0
+    for p in sorted(totals):
+        base_map[p] = acc
+        acc += totals[p]
+    base = F.lit(0).cast("long")
+    for p, b in base_map.items():
+        base = F.when(F.col("_p") == p, F.lit(b).cast("long")).otherwise(base)
+    start = (base + F.col("_cum") - F.col("_len")).alias("start_offset")
+    return (local.select(
+        F.col("_id").alias(id_col), F.col("_len").alias(len_col), start)
+        .withColumn("bin_id", F.expr(f"start_offset div {bi}"))
+        .withColumn("bin_offset", F.expr(f"start_offset % {bi}")))

@@ -176,6 +176,32 @@ def q_repetition_score(spark, sf_dir):
     return textstats.repetition_score(_docs(spark, sf_dir))
 
 
+_BAL_RATES = {"en": 0.5, "de": 0.25}
+_BAL_SALT = "bal"
+_PACK_BUDGET = 2048
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (language balancing):
+    sampling.stratified_hash_sample keeps a doc iff md5(doc_id || salt)
+    falls under its language's rate threshold — nested across rates, exact
+    oracle recomputes the identical arithmetic."""
+    from ..functions import sampling
+    return sampling.stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _BAL_RATES,
+        salt=_BAL_SALT).select("doc_id", "lang")
+
+
+def q_pack_offsets(spark, sf_dir):
+    """Concat-then-chunk packing layout (sampling.pack_offsets): global
+    token-stream offsets via a distributed prefix sum (range partition +
+    per-partition running sum + P-row base fold) — the oracle is the
+    closed-form window cumsum."""
+    from ..functions import sampling
+    return sampling.pack_offsets(_docs(spark, sf_dir), "doc_id", "n_chars",
+                                 budget=_PACK_BUDGET)
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -660,6 +686,8 @@ PIPELINE_QUERIES = {
     "text_contamination_check": q_contamination_check,
     "text_boilerplate_ngrams": q_boilerplate_ngrams,
     "docs_hash_split": q_hash_split,
+    "docs_stratified_sample": q_stratified_sample,
+    "docs_pack_offsets": q_pack_offsets,
     "text_repetition_score": q_repetition_score,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
@@ -748,6 +776,39 @@ FROM (SELECT doc_id,
                                        || '{_SPLIT_SALT}'), 1, 8))
                   AS BIGINT) AS h
       FROM documents)
+"""
+
+
+def _stratified_sql() -> str:
+    """Mirror of stratified_hash_sample's threshold arithmetic with the
+    SAME integer literals."""
+    cases = " ".join(
+        f"WHEN lang = '{name}' THEN {int(r * (1 << 32))}"
+        for name, r in _BAL_RATES.items())
+    return f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{_BAL_SALT}'), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents WHERE doc_id IS NOT NULL)
+WHERE h < (CASE {cases} ELSE {1 << 32} END)
+"""
+
+
+_PACK_SQL = f"""
+SELECT doc_id, n_chars,
+       start_offset,
+       start_offset // {_PACK_BUDGET} AS bin_id,
+       start_offset % {_PACK_BUDGET} AS bin_offset
+FROM (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_chars AS BIGINT)
+             AS start_offset
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0)
 """
 
 
@@ -1025,6 +1086,8 @@ def pipeline_oracles() -> dict[str, str]:
         "text_contamination_check": _CONTAMINATION_SQL,
         "text_boilerplate_ngrams": _BOILERPLATE_SQL,
         "docs_hash_split": _split_sql(),
+        "docs_stratified_sample": _stratified_sql(),
+        "docs_pack_offsets": _PACK_SQL,
         "text_repetition_score": _REPETITION_SQL,
         "text_token_count": """
             SELECT doc_id,

@@ -1026,6 +1026,8 @@ _HEAD = [
     "text_contamination_check",
     "text_boilerplate_ngrams",
     "docs_hash_split",
+    "docs_stratified_sample",
+    "docs_pack_offsets",
     "text_repetition_score",
     "kmv_source_difference",
     "streaming_windowed_distinct_hll",
@@ -1052,6 +1054,8 @@ _TAIL = [
     "mg_heavy_hitters",
     "reservoir_sample",
     "multimodal_meta",
+    "curation_pipeline",
+    "streaming_windowed_counts",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}

@@ -748,3 +748,53 @@ def test_hash_split_rejects_nan_and_nulls_get_null_split(spark):
     got = {r.doc_id: r.split for r in hash_split(
         df, "doc_id", {"a": 0.5, "b": 0.5}).collect()}
     assert got[1] in ("a", "b") and got[None] is None
+
+
+def test_pack_offsets_matches_cumsum_any_partitioning(spark, docs):
+    """The distributed prefix sum must equal a single-threaded pandas
+    cumsum in doc_id order, for several partition counts (per-partition
+    windows + base-offset fold must be seam-free), with straddling docs
+    getting the concat-then-chunk bin/offset."""
+    from bloom_filter_spark.functions.sampling import pack_offsets
+    pdf = (docs.select("doc_id", "n_chars").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cum = pdf["n_chars"].cumsum() - pdf["n_chars"]
+    want = {int(r.doc_id): (int(c), int(c) // 2048, int(c) % 2048)
+            for r, c in zip(pdf.itertuples(), cum)}
+    for parts in (None, 1, 7):
+        got = {int(r.doc_id): (r.start_offset, r.bin_id, r.bin_offset)
+               for r in pack_offsets(docs, "doc_id", "n_chars", 2048,
+                                     num_partitions=parts).collect()}
+        assert got == want, parts
+    assert max(b for _, b, _ in got.values()) > 0  # multiple bins exist
+    with pytest.raises(ValueError):
+        pack_offsets(docs, "doc_id", "n_chars", 0)
+
+
+def test_stratified_hash_sample_nested_and_deterministic(spark, docs):
+    """Raising a rate must strictly GROW the kept set (nested samples), the
+    keep decision must match a hashlib recompute, and unknown strata use
+    the default rate."""
+    import hashlib
+
+    from bloom_filter_spark.functions.sampling import stratified_hash_sample
+
+    def keep_ids(rates, default=1.0):
+        return {r.doc_id for r in stratified_hash_sample(
+            docs, "doc_id", "lang", rates, default_rate=default,
+            salt="t").collect()}
+
+    half = keep_ids({"en": 0.5})
+    quarter = keep_ids({"en": 0.25})
+    assert quarter <= half
+    pdf = docs.select("doc_id", "lang").toPandas()
+    want = set()
+    for r in pdf.itertuples():
+        h = int(hashlib.md5(f"{r.doc_id}t".encode()).hexdigest()[:8], 16)
+        thr = int(0.5 * (1 << 32)) if r.lang == "en" else (1 << 32)
+        if h < thr:
+            want.add(int(r.doc_id))
+    assert half == want
+    assert keep_ids({}, default=1.0) == set(pdf.doc_id)  # default keeps all
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 1.5})
