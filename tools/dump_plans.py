@@ -110,6 +110,13 @@ def main() -> None:
         "k·P rows to the driver, NO sort/shuffle of the data — the "
         "optimizer IS the distributed weighted reservoir merge.")
 
+    add("Sequence-packing offsets (distributed prefix sum)",
+        sampling.pack_offsets(docs, "doc_id", "n_chars", 2048),
+        "ONE range Exchange of (id, len) + per-partition running-sum "
+        "Window + a P-entry CASE for the base offsets — the global "
+        "concat-then-chunk offsets with no single-task global-order "
+        "window and no second data shuffle.")
+
     from bloom_filter_spark.functions.joins import asof_join, range_join
     from bloom_filter_spark.plans.pipeline_queries import (
         ERR_WINDOW_US, event_projections)
