@@ -199,8 +199,10 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
     serialize into one task, so instead: repartitionByRange on the id
     (partition p holds the p-th id range), a per-partition running-sum
     window, and per-partition base offsets from a P-row aggregate folded on
-    the driver and mapped back in-plan.  Total shuffle = one range exchange
-    of (id, len) plus P tiny rows; no global sort materializes."""
+    the driver and BROADCAST-joined back (a P-way CASE expression would
+    blow the analyzer/codegen at 1000 partitions).  Total shuffle = one
+    range exchange of (id, len) plus P tiny rows; no global sort
+    materializes."""
     bi = int(budget)
     if bi <= 0:
         raise ValueError("budget must be positive")
@@ -217,19 +219,21 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
     w = (Window.partitionBy("_p").orderBy("_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = part.withColumn("_cum", F.sum("_len").over(w))
-    # P partial sums -> driver fold -> base offset per partition, mapped
-    # back as a literal CASE (P entries, no join shuffle)
+    # P partial sums -> driver fold -> base offset per partition, joined
+    # back as a broadcast of P tiny rows
     totals = {r._p: r.t for r in
               part.groupBy("_p").agg(F.sum("_len").alias("t")).collect()}
-    base_map, acc = {}, 0
+    base_rows, acc = [], 0
     for p in sorted(totals):
-        base_map[p] = acc
+        base_rows.append((p, acc))
         acc += totals[p]
-    base = F.lit(0).cast("long")
-    for p, b in base_map.items():
-        base = F.when(F.col("_p") == p, F.lit(b).cast("long")).otherwise(base)
-    start = (base + F.col("_cum") - F.col("_len")).alias("start_offset")
-    return (local.select(
-        F.col("_id").alias(id_col), F.col("_len").alias(len_col), start)
-        .withColumn("bin_id", F.expr(f"start_offset div {bi}"))
-        .withColumn("bin_offset", F.expr(f"start_offset % {bi}")))
+    spark = df.sparkSession
+    bases = spark.createDataFrame(base_rows or [(0, 0)],
+                                  "_p int, _base long")
+    start = (F.col("_base") + F.col("_cum") - F.col("_len")) \
+        .alias("start_offset")
+    return (local.join(F.broadcast(bases), "_p")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_len").alias(len_col), start)
+            .withColumn("bin_id", F.expr(f"start_offset div {bi}"))
+            .withColumn("bin_offset", F.expr(f"start_offset % {bi}")))
