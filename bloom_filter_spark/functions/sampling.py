@@ -112,6 +112,16 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
                     F.col("weight").alias(weight_col), "logkey"))
 
 
+def _hash_u32(id_col: str, salt: str):
+    """The ONE deterministic id→[0, 2^32) hash shared by hash_split and
+    stratified_hash_sample (and mirrored literally in their SQL oracles):
+    first 8 hex chars of md5(id ‖ salt).  A change here must ship in
+    lock-step with the oracles or splits and samples silently diverge."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16, 10).cast("long"))
+
+
 def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
                salt: str = "") -> DataFrame:
     """Deterministic dataset splitting (train/val/test): append a ``split``
@@ -135,9 +145,7 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    h = (F.conv(F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
-        16, 10).cast("long"))
+    h = _hash_u32(id_col, salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -168,16 +176,17 @@ def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
     id is compared against the same point of the hash space everywhere, so
     raising a rate strictly grows the kept set (nested samples — rerunning
     curation with a higher budget never drops previously kept docs).
-    Strata not in ``rates`` use ``default_rate``."""
+    Strata not in ``rates`` use ``default_rate``.  Null-id rows are DROPPED
+    (a null id has no stable hash, so no keep decision is reproducible for
+    it — unlike hash_split, which labels rather than filters and can carry
+    them as NULL)."""
     import math
     for name, r in rates.items():
         if not (math.isfinite(r) and 0.0 <= r <= 1.0):
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
     if not (math.isfinite(default_rate) and 0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    h = (F.conv(F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
-        16, 10).cast("long"))
+    h = _hash_u32(id_col, salt)
     thr = F.lit(int(default_rate * (1 << 32)))
     for name, r in rates.items():
         thr = F.when(F.col(stratum_col) == name,
@@ -197,12 +206,18 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
 
     Spark-first DISTRIBUTED PREFIX SUM — a single global-order window would
     serialize into one task, so instead: repartitionByRange on the id
-    (partition p holds the p-th id range), a per-partition running-sum
-    window, and per-partition base offsets from a P-row aggregate folded on
-    the driver and BROADCAST-joined back (a P-way CASE expression would
-    blow the analyzer/codegen at 1000 partitions).  Total shuffle = one
-    range exchange of (id, len) plus P tiny rows; no global sort
-    materializes."""
+    (partition p holds the p-th id range, ``id_col`` values must be
+    UNIQUE — duplicate ids would take arbitrary relative offsets),
+    sortWithinPartitions + one vectorized mapInArrow pass computing each
+    partition's running sum (NO second exchange — a Window partitioned on
+    the partition id would re-cluster the whole data by hash), and
+    per-partition base offsets from a P-row aggregate folded on the driver
+    and BROADCAST-joined back.  The cumsum stage is localCheckpoint-pinned
+    so the totals job and the result read ONE evaluation — range-boundary
+    sampling re-running on nondeterministic input could otherwise move a
+    row between partitions AFTER its base was folded.  Total shuffle = one
+    range exchange of (id, len) plus P tiny rows."""
+    import pyarrow  # noqa: F401 — imported for the worker closure
     bi = int(budget)
     if bi <= 0:
         raise ValueError("budget must be positive")
@@ -210,19 +225,37 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
                     & F.col(len_col).isNotNull() & (F.col(len_col) >= 0))
            .select(F.col(id_col).alias("_id"),
                    F.col(len_col).cast("long").alias("_len")))
-    if num_partitions:
+    if num_partitions is not None:
         sel = sel.repartitionByRange(num_partitions, "_id")
     else:
         sel = sel.repartitionByRange("_id")
-    part = sel.withColumn("_p", F.spark_partition_id())
-    # per-partition running sum in id order (partition = contiguous range)
-    w = (Window.partitionBy("_p").orderBy("_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = part.withColumn("_cum", F.sum("_len").over(w))
-    # P partial sums -> driver fold -> base offset per partition, joined
-    # back as a broadcast of P tiny rows
+    ordered = sel.sortWithinPartitions("_id")
+
+    def cum_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        run = 0
+        for b in batches:
+            lens = b.column(1).to_numpy(zero_copy_only=False)
+            cum = run + np.cumsum(lens, dtype=np.int64)
+            run = int(cum[-1]) if len(lens) else run
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1),
+                 pa.array(cum - lens, pa.int64()),
+                 pa.array(np.full(len(lens), pid, np.int32), pa.int32())],
+                ["_id", "_len", "_ls", "_p"])
+
+    id_type = dict(sel.dtypes)["_id"]
+    local = ordered.mapInArrow(
+        cum_fn, f"_id {id_type}, _len long, _ls long, _p int")
+    # pin ONE evaluation of the range partitioning + cumsum: the totals
+    # job and the returned plan must see identical partition assignments
+    local = local.localCheckpoint(eager=False)
     totals = {r._p: r.t for r in
-              part.groupBy("_p").agg(F.sum("_len").alias("t")).collect()}
+              local.groupBy("_p").agg(F.sum("_len").alias("t")).collect()}
     base_rows, acc = [], 0
     for p in sorted(totals):
         base_rows.append((p, acc))
@@ -230,8 +263,7 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
     spark = df.sparkSession
     bases = spark.createDataFrame(base_rows or [(0, 0)],
                                   "_p int, _base long")
-    start = (F.col("_base") + F.col("_cum") - F.col("_len")) \
-        .alias("start_offset")
+    start = (F.col("_base") + F.col("_ls")).alias("start_offset")
     return (local.join(F.broadcast(bases), "_p")
             .select(F.col("_id").alias(id_col),
                     F.col("_len").alias(len_col), start)

@@ -112,8 +112,10 @@ def main() -> None:
 
     add("Sequence-packing offsets (distributed prefix sum)",
         sampling.pack_offsets(docs, "doc_id", "n_chars", 2048),
-        "ONE range Exchange of (id, len) + per-partition running-sum "
-        "Window + a P-entry CASE for the base offsets — the global "
+        "ONE range Exchange of (id, len), sortWithinPartitions, a "
+        "vectorized MapInArrow running sum (checkpoint-pinned so the "
+        "base-offset fold and the result read one evaluation), and a "
+        "BroadcastHashJoin of the P-row base table — global "
         "concat-then-chunk offsets with no single-task global-order "
         "window and no second data shuffle.")
 
