@@ -433,25 +433,37 @@ def merge_shard_partials(partials: DataFrame, sketch,
 def build_delta_sketch_sharded(df: DataFrame, sketch, col: str, sign_col: str,
                                value_kind: str = "str",
                                n_shards: int | None = None,
-                               repartition: int | None = None) -> tuple[bytes, int]:
+                               repartition: int | None = None,
+                               checkpoint=None,
+                               sketch_id: str | None = None) -> tuple[bytes, int]:
     """Sharded changelog fold → merged monolithic state blob (bit-identical
     to the monolithic path — integer counter addition commutes, so shard
-    order and partition order never matter)."""
+    order and partition order never matter).  With ``checkpoint`` +
+    ``sketch_id`` the shard partials persist to the lineage table first
+    (level = SHARD_LEVEL) and the merge consumes the checkpointed rows —
+    wide-state builds resume exactly like monolithic ones."""
     partials = build_delta_shard_partials(df, sketch, col, sign_col,
                                           value_kind, n_shards, repartition)
-    rows = merge_shard_partials(
-        partials, sketch,
-        est_partials=partials.rdd.getNumPartitions()).collect()
+    est = partials.rdd.getNumPartitions()
+    if checkpoint is not None and sketch_id is not None:
+        partials = checkpoint.write_shard_partials(
+            sketch_id, sketch, partials, input_desc=_describe_input(df))
+    rows = merge_shard_partials(partials, sketch, est_partials=est).collect()
     if not rows:
         return sketch.serialize(sketch.empty()), 0
     blob = type(sketch).reassemble_shards([r.state for r in rows])
-    return blob, int(sum(r.n_items for r in rows))
+    n_items = int(sum(r.n_items for r in rows))
+    if checkpoint is not None and sketch_id is not None:
+        checkpoint.write_final(sketch_id, sketch, blob, n_items)
+    return blob, n_items
 
 
 def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
                        value_kind: str = "str", fanin: int = 64,
                        repartition: int | None = None,
-                       sharded: bool | None = None) -> tuple[bytes, int]:
+                       sharded: bool | None = None,
+                       checkpoint=None,
+                       sketch_id: str | None = None) -> tuple[bytes, int]:
     """Changelog fold → merged state blob (see build_delta_partials).
 
     Routing: AUTO by default — the monolithic blob-per-partition fold while
@@ -465,10 +477,18 @@ def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
                    and state_size_estimate(sketch) > SHARD_ROUTE_THRESHOLD_BYTES)
     if sharded:
         return build_delta_sketch_sharded(df, sketch, col, sign_col,
-                                          value_kind, repartition=repartition)
+                                          value_kind, repartition=repartition,
+                                          checkpoint=checkpoint,
+                                          sketch_id=sketch_id)
     partials = build_delta_partials(df, sketch, col, sign_col, value_kind,
                                     repartition)
-    return merge_partials_auto(partials, sketch, fanin=fanin)
+    if checkpoint is not None and sketch_id is not None:
+        partials = checkpoint.write_partials(
+            sketch_id, sketch, partials, input_desc=_describe_input(df))
+    blob, n = merge_partials_auto(partials, sketch, fanin=fanin)
+    if checkpoint is not None and sketch_id is not None:
+        checkpoint.write_final(sketch_id, sketch, blob, n)
+    return blob, n
 
 
 def _describe_input(df: DataFrame) -> str:

@@ -32,6 +32,12 @@ from .merge import merge_partials_tree
 PARTIAL_TABLE_SCHEMA = ("sketch_id string, kind string, level int, partition_id long, "
                         "n_items long, state binary, params_json string, "
                         "input_desc string, created_utc double")
+
+# level sentinel marking SHARDED partial layout in sketch_state: rows are
+# (shard_id-as-partition_id, n_items, column-range state), many rows per id
+# (one per scan partition) — resumed via the per-shard merge + reassembly
+# instead of the fanin tree
+SHARD_LEVEL = -1
 FINAL_TABLE_SCHEMA = ("sketch_id string, kind string, n_items long, state binary, "
                       "params_json string, created_utc double")
 
@@ -82,6 +88,22 @@ class SketchCheckpoint:
                 .where(F.col("level") == level)
                 .select("partition_id", "n_items", "state"))
 
+    def write_shard_partials(self, sketch_id: str, sketch,
+                             shard_partials: DataFrame,
+                             input_desc: str = "") -> DataFrame:
+        """Persist SHARDED partials (build_delta_shard_partials output) in
+        the same sketch_state table: shard_id rides the partition_id
+        column, ``level = SHARD_LEVEL`` marks the layout.  Returns the
+        re-read rows as (shard_id, n_items, state) so the downstream merge
+        consumes checkpointed state."""
+        renamed = shard_partials.select(
+            F.col("shard_id").cast("long").alias("partition_id"),
+            "n_items", "state")
+        out = self.write_partials(sketch_id, sketch, renamed, input_desc,
+                                  level=SHARD_LEVEL)
+        return out.select(F.col("partition_id").cast("int").alias("shard_id"),
+                          "n_items", "state")
+
     @staticmethod
     def _set_latest_run(base: str, run_id: str) -> None:
         tmp = os.path.join(base, f"._LATEST_RUN.{run_id}")
@@ -118,11 +140,26 @@ class SketchCheckpoint:
 
     def resume(self, spark: SparkSession, sketch_id: str, sketch,
                fanin: int = 64) -> tuple[bytes, int]:
-        """Rebuild the final state from the LATEST complete run's partials."""
+        """Rebuild the final state from the LATEST complete run's partials.
+        Layout auto-detected from the level column: SHARD_LEVEL rows merge
+        per shard and reassemble; monolithic rows run the fanin tree."""
         base = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
-        partials = (spark.read.parquet(self._latest_run_path(base))
-                    .select("partition_id", "n_items", "state"))
-        row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
-        blob, n = bytes(row.state), int(row.n_items)
+        raw = spark.read.parquet(self._latest_run_path(base))
+        if raw.where(F.col("level") == SHARD_LEVEL).limit(1).count():
+            from .build import merge_shard_partials
+            shards = (raw.where(F.col("level") == SHARD_LEVEL)
+                      .select(F.col("partition_id").cast("int")
+                              .alias("shard_id"), "n_items", "state"))
+            cnt = shards.count()
+            n_shards = shards.select("shard_id").distinct().count()
+            rows = merge_shard_partials(
+                shards, sketch,
+                est_partials=-(-cnt // max(1, n_shards))).collect()
+            blob = type(sketch).reassemble_shards([r.state for r in rows])
+            n = int(sum(r.n_items for r in rows))
+        else:
+            partials = raw.select("partition_id", "n_items", "state")
+            row = merge_partials_tree(partials, sketch, fanin=fanin).collect()[0]
+            blob, n = bytes(row.state), int(row.n_items)
         self.write_final(sketch_id, sketch, blob, n)
         return blob, n

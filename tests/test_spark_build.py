@@ -546,3 +546,38 @@ def test_cbloom_sharded_sparse_and_dense_switch_parity(spark, tokens_df):
             changelog, CountingBloomSketch(BloomParams(n=cap, p=0.01)),
             "doc_id", "sign", "str", n_shards=5)
         assert blob == mono and n == n_mono, cap
+
+
+def test_sharded_changelog_checkpoint_resume(spark, tokens_df, tmp_path):
+    """Sharded (wide-state) changelog partials persist through the lineage
+    table under the SHARD_LEVEL marker and resume to the SAME blob
+    bit-for-bit — wide-state builds are as resumable as monolithic ones,
+    and resume() auto-detects the layout."""
+    from bloom_filter_spark.operators import (SketchCheckpoint,
+                                              build_delta_sketch,
+                                              build_delta_sketch_sharded)
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    parity = (F.ascii(F.substring("doc_id", -1, 1)) % 2).alias("par")
+    with_par = tokens_df.select("doc_id", parity)
+    changelog = (with_par.select("doc_id", F.lit(1).alias("sign"))
+                 .unionAll(with_par.where(F.col("par") == 1)
+                           .select("doc_id", F.lit(-1).alias("sign")))
+                 ).repartition(8, "sign")
+
+    def fresh():
+        return CountingBloomSketch(BloomParams(n=10_000, p=0.01))
+
+    direct, n_direct = build_delta_sketch(changelog, fresh(), "doc_id",
+                                          "sign", "str", sharded=False)
+    ck = SketchCheckpoint(str(tmp_path / "ckpt"))
+    built, n_built = build_delta_sketch_sharded(
+        changelog, fresh(), "doc_id", "sign", "str", n_shards=5,
+        checkpoint=ck, sketch_id="cb_shard")
+    assert built == direct and n_built == n_direct
+    # resume from the persisted shard partials alone
+    blob, n = ck.resume(spark, "cb_shard", fresh())
+    assert blob == direct and n == n_direct
+    # and the final table holds it too
+    fblob, fn = ck.read_final(spark, "cb_shard")
+    assert fblob == direct and fn == n_direct
