@@ -116,7 +116,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
 
     ``right_cols`` must be non-null in ``right`` (the running-last trick
     cannot distinguish a null payload from no-match; matched-ness is the
-    emitted ``<right_ts>_matched`` column).  ``tolerance``: max allowed
+    emitted ``<right_ts>_matched`` column); the sliced path enforces this
+    with an in-plan ``raise_error`` because a violation there would corrupt
+    seeds silently instead of just mixing columns.  ``tolerance``: max allowed
     left_ts − right_ts (same units as the ts columns); staler matches are
     null-extended, exactly like pandas merge_asof.
 
@@ -158,6 +160,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         tie = F.monotonically_increasing_id()
         from pyspark.sql.types import LongType
         tie_type = LongType()
+    sliced = bool(n_slices is not None and n_slices > 1 or slice_bounds)
+
+    def _rpay(c: str):
+        col = F.col(c)
+        if sliced:
+            # the sliced path's per-column running-last seeds silently
+            # diverge from the unsliced plan if a payload value is NULL
+            # (contract violation) — fail loud in-plan instead (ADVICE r4);
+            # one null-check per right row, negligible next to the window
+            col = F.when(col.isNull(), F.raise_error(F.lit(
+                f"asof_join: NULL in right_cols column '{c}' — the sliced "
+                f"path requires non-null right payloads"))).otherwise(col)
+        return col.alias(f"_r_{c}")
+
     l = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"), F.lit(None).cast(tie_type).alias("_tie"),
@@ -165,9 +181,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"), tie.alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[_rpay(c) for c in right_cols],
         F.col(right_ts).alias(f"_r_{out_ts}"))
-    if n_slices is not None and n_slices > 1 or slice_bounds:
+    if sliced:
         both, part_cols = _asof_time_sliced(l, r, right_cols, out_ts,
                                             n_slices or (len(slice_bounds) + 1),
                                             slice_bounds)

@@ -292,7 +292,13 @@ def build_delta_partials(df: DataFrame, sketch, col: str, sign_col: str,
     return sel.mapInArrow(partial_fn, PARTIAL_SCHEMA)
 
 
-SHARD_SCHEMA = "shard_id int, n_items long, state binary"
+# ``src`` is the ORIGIN SCAN PARTITION id, persisted with the row: the
+# pre-merge fanin levels group on floor(src / fanin), and deriving it from
+# spark_partition_id() at merge time would break after a checkpoint
+# write-back (re-read parquet partitions pack many same-shard rows per
+# partition, so one (shard, grp) group could exceed the byte budget the
+# fanin levels enforce — ADVICE r4).
+SHARD_SCHEMA = "shard_id int, src long, n_items long, state binary"
 
 # Above this dense-state size the monolithic changelog fold is routed to the
 # sharded path: blob-per-partition states this wide would otherwise force
@@ -376,8 +382,11 @@ def build_delta_shard_partials(df: DataFrame, sketch, col: str, sign_col: str,
             blobs = [sketch.serialize_shard_from_cells(
                 idx[cuts[i]:cuts[i + 1]], dl[cuts[i]:cuts[i + 1]],
                 i, n_shards) for i in range(n_shards)]
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         yield pa.RecordBatch.from_pydict({
             "shard_id": pa.array(list(range(n_shards)), pa.int32()),
+            "src": pa.array([pid] * n_shards, pa.int64()),
             "n_items": pa.array([n] + [0] * (n_shards - 1), pa.int64()),
             "state": pa.array(blobs, pa.binary()),
         })
@@ -409,9 +418,9 @@ def merge_shard_partials(partials: DataFrame, sketch,
         pdf = pdf.sort_values("src")  # reproducible fold order
         blob = cls.merge_shard_blobs(list(pdf["state"]))
         return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
+                             "src": [int(pdf["grp"].iloc[0])],
                              "n_items": [int(pdf["n_items"].sum())],
-                             "state": [blob],
-                             "src": [int(pdf["grp"].iloc[0])]})
+                             "state": [blob]})
 
     def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("src")
@@ -420,14 +429,20 @@ def merge_shard_partials(partials: DataFrame, sketch,
                              "n_items": [int(pdf["n_items"].sum())],
                              "state": [blob]})
 
-    df = partials.withColumn("src", F.spark_partition_id())
+    if "src" not in partials.columns:
+        # legacy input (pre-src layout): one mapInArrow task per scan
+        # partition means the physical partition id IS the origin — only
+        # sound because nothing re-partitioned between fold and merge
+        partials = partials.withColumn("src", F.spark_partition_id())
+    df = partials
     p = est_partials
     while p > fanin:
         df = (df.withColumn("grp", F.floor(F.col("src") / fanin))
                 .groupBy("shard_id", "grp")
-                .applyInPandas(merge_level, SHARD_SCHEMA + ", src int"))
+                .applyInPandas(merge_level, SHARD_SCHEMA))
         p = -(-p // fanin)
-    return df.groupBy("shard_id").applyInPandas(merge_final, SHARD_SCHEMA)
+    return df.groupBy("shard_id").applyInPandas(
+        merge_final, "shard_id int, n_items long, state binary")
 
 
 def build_delta_sketch_sharded(df: DataFrame, sketch, col: str, sign_col: str,
@@ -482,10 +497,17 @@ def build_delta_sketch(df: DataFrame, sketch, col: str, sign_col: str,
                                           sketch_id=sketch_id)
     partials = build_delta_partials(df, sketch, col, sign_col, value_kind,
                                     repartition)
+    est_rows = None
     if checkpoint is not None and sketch_id is not None:
+        # capture BEFORE the checkpoint round-trip: a read-back packs many
+        # partial rows per parquet partition, so getNumPartitions inside
+        # merge_partials_auto would under-count and mis-route a large fleet
+        # to the driver collect (ADVICE r4; same pitfall build_sketch avoids)
+        est_rows = partials.rdd.getNumPartitions()
         partials = checkpoint.write_partials(
             sketch_id, sketch, partials, input_desc=_describe_input(df))
-    blob, n = merge_partials_auto(partials, sketch, fanin=fanin)
+    blob, n = merge_partials_auto(partials, sketch, fanin=fanin,
+                                  est_rows=est_rows)
     if checkpoint is not None and sketch_id is not None:
         checkpoint.write_final(sketch_id, sketch, blob, n)
     return blob, n
@@ -596,13 +618,15 @@ def build_grouped(df: DataFrame, sketch, group_col: str, col: str,
                   num_partitions: int | None = None,
                   strategy: str = "auto",
                   group_cardinality: int | None = None) -> DataFrame:
-    """One sketch per group as a two-phase mergeable aggregation.
-    → DataFrame(group string, n_items long, state binary).
+    """One sketch per group as a two-phase mergeable aggregation.  NOTE:
+    the default ``strategy="auto"`` runs an extra ``approx_count_distinct``
+    job over ``group_col`` unless ``group_cardinality`` is passed — callers
+    that pin ``strategy=`` or pass the cardinality pay no estimate job
+    (ADVICE r4).  → DataFrame(group string, n_items long, state binary).
 
-    ``strategy="auto"`` (default): route on estimated group cardinality —
+    ``strategy="auto"``: route on estimated group cardinality —
     map-side combine while G × |state| fits the task budget, salted beyond
-    it (a 10^5-group × MB-state domain would OOM every map-side task).
-    Pass ``group_cardinality`` to skip the estimate job.  Note: for
+    it (a 10^5-group × MB-state domain would OOM every map-side task).  Note: for
     ORDER-SENSITIVE sketches (KLL / t-digest / MG compaction) the two
     routes fold in different groupings, so a data-dependent route flip can
     change state bytes (estimates stay within each sketch's published

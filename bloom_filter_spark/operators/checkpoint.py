@@ -70,11 +70,15 @@ class SketchCheckpoint:
         pj = params_json(sketch)
         now = time.time()
         run_id = uuid.uuid4().hex[:12]
+        # ``src`` (origin scan partition, sharded layout) persists with the
+        # row: re-deriving it from the read-back partitioning would collapse
+        # many origins into one and break the merge's fanin byte budget
+        extra = ["src"] if "src" in partials.columns else []
         enriched = partials.select(
             F.lit(sketch_id).alias("sketch_id"),
             F.lit(sketch.kind).alias("kind"),
             F.lit(level).alias("level"),
-            "partition_id", "n_items", "state",
+            "partition_id", *extra, "n_items", "state",
             F.lit(pj).alias("params_json"),
             F.lit(input_desc).alias("input_desc"),
             F.lit(now).alias("created_utc"),
@@ -86,7 +90,7 @@ class SketchCheckpoint:
         spark = partials.sparkSession
         return (spark.read.parquet(path)
                 .where(F.col("level") == level)
-                .select("partition_id", "n_items", "state"))
+                .select("partition_id", *extra, "n_items", "state"))
 
     def write_shard_partials(self, sketch_id: str, sketch,
                              shard_partials: DataFrame,
@@ -96,13 +100,14 @@ class SketchCheckpoint:
         column, ``level = SHARD_LEVEL`` marks the layout.  Returns the
         re-read rows as (shard_id, n_items, state) so the downstream merge
         consumes checkpointed state."""
+        extra = ["src"] if "src" in shard_partials.columns else []
         renamed = shard_partials.select(
             F.col("shard_id").cast("long").alias("partition_id"),
-            "n_items", "state")
+            *extra, "n_items", "state")
         out = self.write_partials(sketch_id, sketch, renamed, input_desc,
                                   level=SHARD_LEVEL)
         return out.select(F.col("partition_id").cast("int").alias("shard_id"),
-                          "n_items", "state")
+                          *extra, "n_items", "state")
 
     @staticmethod
     def _set_latest_run(base: str, run_id: str) -> None:
@@ -147,9 +152,10 @@ class SketchCheckpoint:
         raw = spark.read.parquet(self._latest_run_path(base))
         if raw.where(F.col("level") == SHARD_LEVEL).limit(1).count():
             from .build import merge_shard_partials
+            extra = ["src"] if "src" in raw.columns else []
             shards = (raw.where(F.col("level") == SHARD_LEVEL)
                       .select(F.col("partition_id").cast("int")
-                              .alias("shard_id"), "n_items", "state"))
+                              .alias("shard_id"), *extra, "n_items", "state"))
             cnt = shards.count()
             n_shards = shards.select("shard_id").distinct().count()
             rows = merge_shard_partials(
