@@ -558,6 +558,22 @@ def q_events_asof_attribution(spark, sf_dir):
                      tie_col="click_id")
 
 
+def q_events_asof_attribution_sliced(spark, sf_dir):
+    """The SAME attribution join through the hot-key time-slice pre-split
+    (``n_slices=4``, functions/joins.py::_asof_time_sliced): equi-depth
+    t-digest slice boundaries, independent (key, slice) windows, one seed
+    row per boundary — the plan a user would run on skewed keys, where a
+    single hot user would otherwise serialize into one window task.
+    Slicing must be invisible in results: this row shares the unsliced
+    query's DuckDB native-ASOF oracle verbatim (VERDICT r4 #2)."""
+    from ..functions.joins import asof_join
+    purch, clicks, _ = event_projections(spark, sf_dir)
+    return asof_join(purch, clicks, key="user_id",
+                     left_ts="purchase_ts", right_ts="ts_us",
+                     right_cols=["click_id", "click_value"],
+                     tie_col="click_id", n_slices=4)
+
+
 QPART_BUCKETS = 16
 
 
@@ -710,6 +726,7 @@ PIPELINE_QUERIES = {
     "weighted_sample_docs": q_weighted_sample,
     "weighted_sample_per_source": q_weighted_sample_per_source,
     "events_asof_attribution": q_events_asof_attribution,
+    "events_asof_attribution_sliced": q_events_asof_attribution_sliced,
     "events_range_join": q_events_range_join,
     "quantile_range_partitioning": q_quantile_partitioning,
 }
@@ -1261,6 +1278,8 @@ def pipeline_oracles() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "events_asof_attribution": _ASOF_SQL,
+        # the sliced plan must be indistinguishable in results — same oracle
+        "events_asof_attribution_sliced": _ASOF_SQL,
         "events_range_join": _RANGE_SQL,
         "quantile_range_partitioning": _QPART_SQL,
         # ANN recall paths: the Spark side measures recall vs brute force
