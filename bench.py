@@ -143,6 +143,37 @@ def main() -> None:
     timed("cbloom_changelog_build", lambda: build_delta_sketch(
         changelog_sub, cb, "doc_id", "sign", "str")[1], repeats=2)
 
+    # str-keyed build + full-stream probe (doc-id shaped): exercises the
+    # zero-copy Arrow string path (core/hashing.py::StrBuf) — UTF-8 keys
+    # hash straight off the Arrow offsets/values buffers, no Python string
+    # objects on the hot path.  Kernel-level interleaved A/B vs the
+    # to_pylist path it replaced: BENCH/AB_strbuf.json (build 3.3×,
+    # probe 12.0× best-of-5).  Ids generate in-plan (no scan, no shuffle:
+    # the timed region is the hash+fold+merge itself).
+    n_ids = max(int(n_tokens // 4), 100_000)
+    doc_ids = spark.range(n_ids).select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("id").cast("string"), 9, "0"))
+         .alias("doc_id"))
+    bloom_doc = BloomSketch(BloomParams(n=n_ids, p=0.01))
+    doc_blob, n_doc = timed("bloom_doc_build_str", lambda: build_sketch(
+        doc_ids, bloom_doc, "doc_id", "str"), repeats=2)
+    assert n_doc == n_ids
+    extra["bloom_doc_build_keys_per_sec"] = round(
+        n_ids / results["bloom_doc_build_str"], 0)
+
+    def probe_doc_stream():
+        from bloom_filter_spark.operators import membership_scan
+        agg = (membership_scan(doc_ids, "doc_id", spark, doc_blob, "bloom",
+                               value_kind="str")
+               .agg(F.sum("n_probed").alias("n"),
+                    F.sum("n_member").alias("hits")).collect()[0])
+        assert agg.n == n_ids and agg.hits == n_ids  # zero FN
+        return agg.hits
+
+    timed("bloom_doc_probe_stream_str", probe_doc_stream, repeats=2)
+    extra["bloom_doc_probe_keys_per_sec"] = round(
+        n_ids / results["bloom_doc_probe_stream_str"], 0)
+
     # pipeline ops on the driver testdata (documents/embeddings); above
     # sf0.1 the driver ships no doc/emb tables, so the deterministic
     # fixture twins stand in (same schema and workload shape)

@@ -22,6 +22,8 @@ globally deterministic, matching the reference's observable behavior.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 U64 = np.uint64
@@ -122,6 +124,148 @@ def hash64_bytes(values, seed: int = DEFAULT_SEED,
     return splitmix64(h ^ lengths.astype(U64))
 
 
+class StrBuf(NamedTuple):
+    """Zero-copy view of a batch of variable-length byte keys: the flat
+    UTF-8/bytes buffer plus per-key start offsets and lengths — exactly the
+    (values, offsets) layout of an Arrow StringArray, so a ``mapInArrow``
+    batch reaches the hash kernels without ever materializing Python string
+    objects (the r4 verdict's last Arrow→Python conversion ceiling).
+
+    ``flat`` is uint8; ``starts``/``lengths`` are intp and ABSOLUTE into
+    ``flat`` (a sliced Arrow array's offsets stay valid against the shared
+    data buffer).  Every str-keyed sketch entry point (``update_str`` /
+    ``contains_str`` / delta variants) accepts a StrBuf anywhere it accepts
+    a sequence of keys."""
+
+    flat: np.ndarray
+    starts: np.ndarray
+    lengths: np.ndarray
+
+    def __len__(self) -> int:  # row count, not tuple arity
+        return int(self.starts.shape[0])
+
+    def tolist(self) -> list:
+        """Decode to Python bytes (slow path — tests / fallbacks only)."""
+        return [self.flat[s:s + l].tobytes()
+                for s, l in zip(self.starts, self.lengths)]
+
+
+def arrow_strbuf(arr) -> "StrBuf | None":
+    """pyarrow string/binary Array → StrBuf, reading the offsets and data
+    buffers directly (no ``to_pylist``).  Nulls are dropped (callers that
+    must keep positional alignment filter nulls in-plan first).  Returns
+    None for array types without the flat+offsets layout (caller falls back
+    to the object path)."""
+    import pyarrow as pa
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    else:
+        return None
+    if arr.null_count:
+        arr = arr.drop_null()
+    n = len(arr)
+    bufs = arr.buffers()
+    if n == 0 or bufs[2] is None:
+        return StrBuf(np.empty(0, np.uint8), np.empty(0, np.intp),
+                      np.empty(0, np.intp))
+    itemsize = np.dtype(off_dtype).itemsize
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1,
+                            offset=arr.offset * itemsize)
+    flat = np.frombuffer(bufs[2], dtype=np.uint8)
+    return StrBuf(flat, offsets[:-1].astype(np.intp, copy=False),
+                  (offsets[1:] - offsets[:-1]).astype(np.intp))
+
+
+def hash64_flat_bytes(flat: np.ndarray, starts: np.ndarray,
+                      lengths: np.ndarray, seed: int = DEFAULT_SEED
+                      ) -> np.ndarray:
+    """FNV-1a fold straight off a flat byte buffer with per-key offsets —
+    bit-identical to ``hash64_bytes`` (same per-byte XOR-multiply sequence,
+    same length fold) but with NO padded-matrix copy and no Python object
+    in sight: byte position j is one masked gather ``flat[starts+j]``
+    across all still-active keys."""
+    n = starts.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    starts = np.asarray(starts, np.intp)
+    lengths = np.asarray(lengths, np.intp)
+    h = np.full(n, _FNV_OFFSET ^ mix_seed(seed), dtype=U64)
+    maxlen = int(lengths.max(initial=0))
+    with np.errstate(over="ignore"):
+        if maxlen and int(lengths.min()) == maxlen:
+            # uniform-length batch (the id-key common case): no masks, and
+            # when the keys are back-to-back in the buffer (un-sliced Arrow
+            # array) each column is a strided VIEW — zero gathers
+            if n == 1 or bool(((starts[1:] - starts[:-1]) == maxlen).all()):
+                first = int(starts[0])
+                mat = flat[first:first + n * maxlen].reshape(n, maxlen)
+                for j in range(maxlen):
+                    h = (h ^ mat[:, j].astype(U64)) * _FNV_PRIME
+            else:
+                for j in range(maxlen):
+                    h = (h ^ flat[starts + j].astype(U64)) * _FNV_PRIME
+        else:
+            for j in range(maxlen):
+                active = lengths > j
+                if not active.any():
+                    break
+                hj = h[active]
+                hj = (hj ^ flat[starts[active] + j].astype(U64)) * _FNV_PRIME
+                h[active] = hj
+    return splitmix64(h ^ lengths.astype(U64))
+
+
+def packed_from_flat(flat: np.ndarray, starts: np.ndarray,
+                     lengths: np.ndarray, width: int) -> np.ndarray:
+    """(flat, starts, lengths) → zero-padded (N, width) uint8 matrix via ONE
+    vectorized gather (clipped indices + validity mask) — the bridge from a
+    StrBuf to the padded-matrix kernels (xxh3 / metro parity families).
+    ``width`` must be ≥ max length (+ whatever slack the kernel gathers)."""
+    n = starts.shape[0]
+    mat = np.zeros((n, width), np.uint8)
+    maxlen = int(np.asarray(lengths).max(initial=0))
+    if n == 0 or maxlen == 0 or flat.size == 0:
+        return mat
+    if maxlen > width:
+        raise ValueError(f"packed width {width} < max key length {maxlen}")
+    colj = np.arange(maxlen, dtype=np.intp)
+    idx = np.asarray(starts, np.intp)[:, None] + colj[None, :]
+    valid = colj[None, :] < np.asarray(lengths, np.intp)[:, None]
+    np.clip(idx, 0, flat.size - 1, out=idx)
+    mat[:, :maxlen] = np.where(valid, flat[idx], 0)
+    return mat
+
+
+def padded_key_matrix(values, lengths: np.ndarray | None = None,
+                      min_width: int = 0, slack: int = 8
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Byte keys (list/tuple of bytes, or a StrBuf) → (zero-padded uint8
+    matrix, true lengths) — the shared input shape of the padded-matrix
+    kernels (xxh3 / metro).  Width = max(maxlen, min_width) + slack so the
+    kernels' fixed-size gathers never run off the row.  StrBuf inputs pack
+    via ONE vectorized gather; list inputs fall back to the per-row fill."""
+    if isinstance(values, StrBuf):
+        lengths = values.lengths
+        width = max(int(lengths.max(initial=0)), min_width) + slack
+        return packed_from_flat(values.flat, values.starts, lengths,
+                                width), lengths
+    vlist = values if isinstance(values, (list, tuple)) else list(values)
+    n = len(vlist)
+    if lengths is None:
+        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
+    else:
+        lengths = np.asarray(lengths, np.intp)
+    width = max(int(lengths.max(initial=0)), min_width) + slack
+    mat = np.zeros((n, width), np.uint8)
+    for i, v in enumerate(vlist):
+        if len(v):
+            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
+    return mat, lengths
+
+
 def hash64_str(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Hash unicode strings (UTF-8 encoded) or bytes keys to uint64.
 
@@ -129,7 +273,11 @@ def hash64_str(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     bytes path (trailing NULs distinct); str inputs use the vectorized
     np.char.encode fast path (np.char strips trailing-NUL *codepoints* — a
     pathological case for text keys, use bytes keys for opaque blobs).
+    A ``StrBuf`` routes through the zero-copy flat-buffer fold.
     """
+    if isinstance(values, StrBuf):
+        return hash64_flat_bytes(values.flat, values.starts, values.lengths,
+                                 seed)
     arr = np.asarray(values) if not isinstance(values, np.ndarray) else values
     if arr.dtype.kind == "U":
         enc = np.char.encode(arr, "utf-8")
@@ -200,7 +348,12 @@ def set_bits(bits: np.ndarray, idx: np.ndarray, m: int) -> None:
     /root/reference/filter/bloom/filter.go:43-46)."""
     if idx.size == 0:
         return
-    if 64 <= m <= _PACKBITS_MAX_BITS:  # need whole u64 words to view-cast
+    # staging is O(m) per call regardless of batch size — a 10k-row Arrow
+    # batch against a 2^26-bit filter would pay a 67 MB bool alloc +
+    # packbits for 70k updates.  Measured crossover ≈ updates = m/64..m/32
+    # (see table in tools/ab_strbuf.py history); route sparse batches to
+    # the O(updates) ufunc.at path instead.
+    if 64 <= m <= _PACKBITS_MAX_BITS and idx.size >= (m >> 5):
         bb = np.zeros(m, dtype=bool)
         bb[idx.astype(np.int64)] = True
         packed = np.packbits(bb, bitorder="little").view(np.uint64)

@@ -40,20 +40,14 @@ def _gather(mat: np.ndarray, rows: np.ndarray, off: np.ndarray,
 
 def metro64_bytes(values, seed: int = 0,
                   lengths: np.ndarray | None = None) -> np.ndarray:
-    """MetroHash64 of variable-length byte keys (any length), vectorized."""
-    vlist = values if isinstance(values, (list, tuple)) else list(values)
-    n = len(vlist)
-    if lengths is None:
-        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
-    else:
-        lengths = np.asarray(lengths, np.intp)
+    """MetroHash64 of variable-length byte keys (any length), vectorized.
+    Accepts a ``hashing.StrBuf`` (Arrow flat-buffer view) like the xxh3
+    kernels — the matrix then packs via one vectorized gather."""
+    from .hashing import padded_key_matrix
+    mat, lengths = padded_key_matrix(values, lengths, min_width=0, slack=8)
+    n = lengths.shape[0]
     if n == 0:
         return np.empty(0, U64)
-    width = int(lengths.max(initial=0)) + 8  # slack for 8-byte gathers
-    mat = np.zeros((n, width), np.uint8)
-    for i, v in enumerate(vlist):
-        if len(v):
-            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
 
     rows_all = np.arange(n)
     h0 = ((int(seed) + 0x62992FC1) * 0xD6D018F5) & 0xFFFFFFFFFFFFFFFF

@@ -291,20 +291,15 @@ def xxh3_64_bytes(values, seed: int = 0,
     and are cross-checked against an independent scalar implementation,
     but no in-sandbox ground truth exists for them — cross-language parity
     claims are strongest for keys ≤ 64 bytes (every realistic id/token).
+
+    Accepts a ``hashing.StrBuf`` (Arrow flat-buffer view) anywhere it
+    accepts a list — the matrix then packs via one vectorized gather.
     """
-    vlist = values if isinstance(values, (list, tuple)) else list(values)
-    n = len(vlist)
-    if lengths is None:
-        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
-    else:
-        lengths = np.asarray(lengths, np.intp)
+    from .hashing import padded_key_matrix
+    mat, lengths = padded_key_matrix(values, lengths, min_width=16, slack=8)
+    n = lengths.shape[0]
     if n == 0:
         return np.empty(0, U64)
-    width = max(int(lengths.max(initial=0)), 16) + 8  # slack for gathers
-    mat = np.zeros((n, width), np.uint8)
-    for i, v in enumerate(vlist):
-        if len(v):
-            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
     out = np.empty(n, U64)
 
     m0 = lengths == 0
@@ -443,20 +438,13 @@ def xxh3_128_bytes(values, seed: int = 0,
 
     Same per-length-class vectorization as xxh3_64_bytes; the >240 path
     shares _hash_long_accs and differs only in the second mergeAccs for the
-    high word (secret offset 117, start ~(len*PRIME64_2))."""
-    vlist = values if isinstance(values, (list, tuple)) else list(values)
-    n = len(vlist)
-    if lengths is None:
-        lengths = np.fromiter((len(v) for v in vlist), np.intp, n)
-    else:
-        lengths = np.asarray(lengths, np.intp)
+    high word (secret offset 117, start ~(len*PRIME64_2)).  Accepts a
+    ``hashing.StrBuf`` like xxh3_64_bytes."""
+    from .hashing import padded_key_matrix
+    mat, lengths = padded_key_matrix(values, lengths, min_width=32, slack=8)
+    n = lengths.shape[0]
     if n == 0:
         return np.empty(0, U64), np.empty(0, U64)
-    width = max(int(lengths.max(initial=0)), 32) + 8
-    mat = np.zeros((n, width), np.uint8)
-    for i, v in enumerate(vlist):
-        if len(v):
-            mat[i, :len(v)] = np.frombuffer(bytes(v), np.uint8)
     out_lo = np.empty(n, U64)
     out_hi = np.empty(n, U64)
 

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
 
+from ..core.hashing import StrBuf, arrow_strbuf
 from ..sketches.base import sketch_for_kind
 from .merge import PARTIAL_SCHEMA, merge_partials_tree
 
@@ -67,7 +68,10 @@ def _update(sketch, state, values, value_kind: str) -> int:
     elif value_kind == "f64":
         sketch.update(state, np.asarray(values, np.float64))
     elif value_kind == "str":
-        sketch.update_str(state, [v for v in values if v is not None])
+        if isinstance(values, StrBuf):  # zero-copy Arrow path, nulls dropped
+            sketch.update_str(state, values)
+        else:
+            sketch.update_str(state, [v for v in values if v is not None])
     else:
         raise ValueError(f"unknown value_kind {value_kind}")
     return len(values)
@@ -85,7 +89,11 @@ def _arrow_values(col, value_kind: str):
     if col.null_count:
         col = col.drop_null()
     if value_kind == "str":
-        return col.to_pylist()
+        # zero-copy offsets/values view — Python string objects never
+        # materialize on the build hot path (VERDICT r4 #3); kernels hash
+        # the UTF-8 bytes straight from the Arrow buffers
+        buf = arrow_strbuf(col)
+        return buf if buf is not None else col.to_pylist()
     return col.to_numpy(zero_copy_only=False)
 
 
@@ -559,7 +567,9 @@ def _grouped_phase1_fn(sketch, array_input: bool, elem_kind: str,
             for gi, gname in enumerate(groups):
                 mask = owner == gi
                 if str_input:
-                    vals = flat.filter(pa.array(mask)).drop_null().to_pylist()
+                    filt = flat.filter(pa.array(mask)).drop_null()
+                    buf = arrow_strbuf(filt)
+                    vals = buf if buf is not None else filt.to_pylist()
                 else:
                     vals = flat[mask]
                 if gname not in states:

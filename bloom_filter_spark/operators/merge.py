@@ -72,6 +72,17 @@ def merge_partials_collect(partials: DataFrame, sketch) -> tuple[bytes, int]:
 # partial is ~1.2 GB; thousands of such partials must never be collect()ed.
 AUTO_TREE_THRESHOLD_BYTES = 256 << 20
 
+# Driver-fold budget — decoupled from AUTO_TREE_THRESHOLD_BYTES because the
+# two guard different memories: the tree threshold caps a single MERGE
+# TASK's input (executor memory), while this caps one .collect() on the
+# driver.  A driver comfortably folds a few hundred MB of state blobs in
+# one job (~0.1 s measured for 32 × 8.4 MB), whereas the tree's
+# persist/count/level jobs cost seconds of fixed latency — routing
+# mid-sized fleets (256-512 MB of partials) to the tree tripled a 3.8M-key
+# str-build's merge for no memory benefit.  At 1000 executors × 8 MB
+# states (8 GB) the tree still takes over.
+DRIVER_COLLECT_MAX_BYTES = 512 << 20
+
 
 def state_size_estimate(sketch) -> int:
     """Driver-side WORST-CASE serialized-size estimate: exact for
@@ -113,7 +124,13 @@ def merge_partials_auto(partials: DataFrame, sketch, fanin: int = 64,
     if est_rows is None:
         est_rows = partials.rdd.getNumPartitions()
     sz = state_size_estimate(sketch)
-    if est_rows * sz > threshold_bytes:
+    # default callers route collect-vs-tree on the DRIVER budget (see
+    # DRIVER_COLLECT_MAX_BYTES); an explicit threshold_bytes override keeps
+    # its historical single-knob meaning (tests force the tree with 0)
+    route_bytes = (DRIVER_COLLECT_MAX_BYTES
+                   if threshold_bytes == AUTO_TREE_THRESHOLD_BYTES
+                   else threshold_bytes)
+    if est_rows * sz > route_bytes:
         # byte-aware fanin: a WIDE state (e.g. a 33 MB counting-bloom
         # counter array) with the default fanin=64 would funnel 2+ GB into
         # ONE merge task; cap each task's input at the same byte budget

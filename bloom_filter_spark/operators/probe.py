@@ -75,8 +75,11 @@ def membership_udf(spark: SparkSession, blob: bytes, kind: str,
     elif key_kind == "str":
         @F.pandas_udf(BooleanType())
         def probe(s: pd.Series) -> pd.Series:
+            # Arrow→pandas already materialized the objects; to_numpy hands
+            # the kernels the object array without a second Python list.
+            # The FULLY zero-copy probe is membership_scan (mapInArrow).
             sk, state = _get(bc, key)
-            return _masked(s, lambda x: sk.contains_str(state, x.tolist()))
+            return _masked(s, lambda x: sk.contains_str(state, x.to_numpy()))
     else:
         raise ValueError(key_kind)
     return probe
@@ -162,8 +165,15 @@ def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
                     np.int32, copy=False)
                 member = sk.contains_i32(state, vals)
             elif value_kind == "str":
-                vals = c.to_pylist()
-                member = sk.contains_str(state, [v for v in vals if v is not None])
+                from ..core.hashing import arrow_strbuf
+                if c.null_count:
+                    c = c.drop_null()
+                buf = arrow_strbuf(c)
+                if buf is not None:  # zero-copy UTF-8 straight off the scan
+                    member = sk.contains_str(state, buf)
+                else:
+                    member = sk.contains_str(
+                        state, [v for v in c.to_pylist() if v is not None])
             else:
                 vals = c.to_numpy(zero_copy_only=False)
                 member = sk.contains_i32(state, np.asarray(vals, np.int32))

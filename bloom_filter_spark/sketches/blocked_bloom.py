@@ -89,6 +89,8 @@ class BlockedBloomSketch:
                 return xxh3.xxh3_128_i32(values)
             if kind == "i64":
                 return xxh3.xxh3_128_i64(values)
+            if isinstance(values, hashing.StrBuf):
+                return xxh3.xxh3_128_bytes(values)  # zero-copy Arrow path
             enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
                    for v in values]
             return xxh3.xxh3_128_bytes(enc)

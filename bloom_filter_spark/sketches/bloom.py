@@ -95,7 +95,12 @@ class BloomSketch:
         p = self.params
         mask = np.uint64(p.m - 1)
         h1, h2 = hashing.split_h1_h2(h)
-        if 64 <= p.m <= hashing._PACKBITS_MAX_BITS:
+        # bool-staging is O(m) per call: only worth it when this batch's
+        # k·N updates are dense relative to the filter (measured crossover
+        # ≈ m/64..m/32) — sparse batches (small Arrow batch, huge m) route
+        # to the O(updates) set_bits/.at path
+        if 64 <= p.m <= hashing._PACKBITS_MAX_BITS \
+                and h.size * p.k >= (p.m >> 5):
             bb = np.zeros(p.m, dtype=bool)
             idx = np.empty(h.size, np.uint64)
             with np.errstate(over="ignore"):
@@ -119,6 +124,8 @@ class BloomSketch:
                 return xxh3.xxh3_64_i32(values)
             if kind == "i64":
                 return xxh3.xxh3_64_i64(values)
+            if isinstance(values, hashing.StrBuf):
+                return xxh3.xxh3_64_bytes(values)  # zero-copy Arrow path
             enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
                    for v in values]
             return xxh3.xxh3_64_bytes(enc)

@@ -93,9 +93,12 @@ class CuckooFilter:
             if kind == "i64":
                 h = metro.metro64_i64(np.asarray(values, np.int64), p.seed)
             elif kind in (True, "str"):
-                enc = [v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                       for v in values]
-                h = metro.metro64_bytes(enc, p.seed)
+                if isinstance(values, hashing.StrBuf):
+                    h = metro.metro64_bytes(values, p.seed)  # zero-copy
+                else:
+                    enc = [v if isinstance(v, (bytes, bytearray))
+                           else str(v).encode() for v in values]
+                    h = metro.metro64_bytes(enc, p.seed)
             else:
                 h = metro.metro64_i32(np.asarray(values, np.int32), p.seed)
         elif kind is True or kind == "str":
