@@ -155,6 +155,19 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return dedup.boilerplate_ngrams(_docs(spark, sf_dir), min_docs=5)
 
 
+SPAN_WIDTH = 5
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Substring-level exact dedup (dedup.repeated_spans): 5-word spans
+    verbatim-repeated across ≥ 2 distinct docs, merged into maximal
+    per-doc runs with 0-based word positions — the excision list a
+    curation pipeline feeds back into the corpus.  Exact SQL oracle:
+    the same lead-concat spans + gaps-and-islands run merge in DuckDB."""
+    return dedup.repeated_spans(_docs(spark, sf_dir), width=SPAN_WIDTH,
+                                min_docs=2)
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SALT = "r4"
 
@@ -701,6 +714,7 @@ PIPELINE_QUERIES = {
     "embedding_ivf_topk_fullprobe": q_ivf_topk_fullprobe,
     "text_contamination_check": q_contamination_check,
     "text_boilerplate_ngrams": q_boilerplate_ngrams,
+    "text_repeated_spans": q_repeated_spans,
     "docs_hash_split": q_hash_split,
     "docs_stratified_sample": q_stratified_sample,
     "docs_pack_offsets": q_pack_offsets,
@@ -759,6 +773,34 @@ SELECT s.doc_id, s.n_grams,
        CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        COALESCE(h.n_contaminated, 0) > 0 AS contaminated
 FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+# 5-word spans (SPAN_WIDTH) with 1-based word position p; p-1 aligns with
+# Spark's 0-based posexplode index.  Mirrors dedup.repeated_spans exactly:
+# doc-frequency over DISTINCT (doc, span), spans in ≥ 2 docs, then the
+# gaps-and-islands merge of consecutive positions per doc.
+_SPANS_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p
+        FROM words),
+sp AS (SELECT doc_id, p - 1 AS p0,
+              w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win
+                || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                AS g
+       FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+       QUALIFY lead(w, 4) OVER win IS NOT NULL),
+rep AS (SELECT g FROM (SELECT g, count(*) AS nd
+                       FROM (SELECT DISTINCT doc_id, g FROM sp) GROUP BY g)
+        WHERE nd >= 2),
+occ AS (SELECT doc_id, p0 FROM sp JOIN rep USING (g)),
+runs AS (SELECT doc_id, p0,
+                p0 - row_number() OVER (PARTITION BY doc_id ORDER BY p0)
+                    AS isl
+         FROM occ)
+SELECT doc_id, CAST(min(p0) AS BIGINT) AS start_pos,
+       CAST(max(p0) AS BIGINT) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM runs GROUP BY doc_id, isl
 """
 
 _BOILERPLATE_SQL = f"""
@@ -1102,6 +1144,7 @@ def pipeline_oracles() -> dict[str, str]:
         "embedding_lsh_neardup": _COSINE_NEARDUP_SQL,
         "text_contamination_check": _CONTAMINATION_SQL,
         "text_boilerplate_ngrams": _BOILERPLATE_SQL,
+        "text_repeated_spans": _SPANS_SQL,
         "docs_hash_split": _split_sql(),
         "docs_stratified_sample": _stratified_sql(),
         "docs_pack_offsets": _PACK_SQL,

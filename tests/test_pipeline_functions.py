@@ -798,3 +798,50 @@ def test_stratified_hash_sample_nested_and_deterministic(spark, docs):
     assert keep_ids({}, default=1.0) == set(pdf.doc_id)  # default keeps all
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_repeated_spans_positions_and_runs(spark):
+    """Constructed docs with one copied sentence: occurrence rows carry the
+    exact 0-based start positions, runs merge consecutive spans into one
+    excision, and unique text yields no rows."""
+    from bloom_filter_spark.functions.dedup import repeated_spans
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),          # span starts at 2
+        (2, f"{shared} unrelated tail words here"),       # span starts at 0
+        (3, "completely different words with no overlap at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = repeated_spans(docs, width=5, min_docs=2, merge_runs=False).collect()
+    # 10-word shared block → 6 spans of width 5 per doc, offsets 0..5
+    by_doc = {}
+    for r in occ:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.span, r.n_docs))
+    assert 3 not in by_doc
+    assert sorted(p for p, _, _ in by_doc[1]) == [2, 3, 4, 5, 6, 7]
+    assert sorted(p for p, _, _ in by_doc[2]) == [0, 1, 2, 3, 4, 5]
+    assert all(r.n_docs == 2 for r in occ)
+    sh_words = shared.split(" ")
+    for p, span, _ in by_doc[2]:
+        assert span == " ".join(sh_words[p:p + 5])
+    runs = repeated_spans(docs, width=5, min_docs=2).collect()
+    got = {r.doc_id: (r.start_pos, r.end_pos, r.n_spans) for r in runs}
+    assert got == {1: (2, 7, 6), 2: (0, 5, 6)}
+    # excision window covers the whole copied block
+    s, e, _ = got[1]
+    assert e + 5 - 1 - s + 1 == len(sh_words)
+
+
+def test_repeated_spans_two_runs_per_doc(spark):
+    """Two disjoint copied blocks in one doc → two separate runs."""
+    from bloom_filter_spark.functions.dedup import repeated_spans
+    a = "one two three four five"           # 5 words → single width-5 span
+    b = "six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{a} xxa xxb xxc {b}"), (2, a), (3, b)],
+        "doc_id long, text string")
+    runs = {(r.doc_id, r.start_pos, r.end_pos, r.n_spans)
+            for r in repeated_spans(docs, width=5, min_docs=2).collect()}
+    assert (1, 0, 0, 1) in runs and (1, 8, 8, 1) in runs
+    assert (2, 0, 0, 1) in runs and (3, 0, 0, 1) in runs
+    assert len(runs) == 4

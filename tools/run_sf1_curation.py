@@ -44,6 +44,8 @@ def main() -> None:
                 docs.where(F.col("doc_id") % 10 == 0)).count(),
             "boilerplate_ngrams": lambda: dedup.boilerplate_ngrams(
                 docs, min_docs=5).count(),
+            "repeated_spans": lambda: dedup.repeated_spans(
+                docs, width=5, min_docs=2).count(),
             "repetition_score": lambda: textstats.repetition_score(
                 docs).count(),
             "hash_split": lambda: sampling.hash_split(
