@@ -845,3 +845,17 @@ def test_repeated_spans_two_runs_per_doc(spark):
     assert (1, 0, 0, 1) in runs and (1, 8, 8, 1) in runs
     assert (2, 0, 0, 1) in runs and (3, 0, 0, 1) in runs
     assert len(runs) == 4
+
+
+def test_contamination_distributed_route_identical(spark, docs):
+    """Forcing the giant-eval-set route (max_driver_grams=1: executor-built
+    Bloom + plain equi-join confirm) must produce EXACTLY the broadcast
+    route's rows — the routing is a plan choice, never a semantics
+    choice."""
+    from bloom_filter_spark.functions.dedup import contamination_check
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    small = {tuple(r) for r in contamination_check(tr, ev).collect()}
+    big = {tuple(r) for r in
+           contamination_check(tr, ev, max_driver_grams=1).collect()}
+    assert small == big and len(small) > 0
