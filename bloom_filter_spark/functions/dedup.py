@@ -38,6 +38,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
                  F.min("doc_id").alias("keep_doc_id")))
 
 
+def exact_dedup_incremental(prior: DataFrame, new_docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """Ingestion-day exact dedup (VERDICT r4 #6): fold NEW documents into a
+    prior run's ``exact_dedup`` output WITHOUT rescanning the old corpus —
+    the dedup state is its own result table, and (count-sum, min-keeper)
+    is a monoid, so
+
+        exact_dedup(old ∪ new) ≡ exact_dedup_incremental(exact_dedup(old),
+                                                         new)
+
+    bit-for-bit (pytest-pinned).  ``prior`` is the persisted result of the
+    previous run (parquet/Iceberg round-trips freely); only the new slice
+    is hashed, and the merge shuffles one row per DISTINCT content, never
+    per document."""
+    new = exact_dedup(new_docs, text_col)
+    return (prior.unionByName(new)
+            .groupBy("text_hash")
+            .agg(F.sum("n_copies").cast("long").alias("n_copies"),
+                 F.min("keep_doc_id").alias("keep_doc_id")))
+
+
 def gram_array(text_col: str, n: int = NGRAM):
     """Column of a text's word n-grams IN ORDER (with repeats), built with
     JVM array ops: transform over a sliding index sequence — no Python, no
@@ -389,6 +410,74 @@ def _minhash_signatures(df: DataFrame, text_col: str, n_perm: int, n: int,
     return sh.mapInArrow(sigs, schema)
 
 
+def minhash_bands(df: DataFrame, text_col: str = "text", n_perm: int = 128,
+                  bands: int = 64, n: int = NGRAM,
+                  seed: int = 0x5EED_1559) -> DataFrame:
+    """(doc_id, band, bucket) — the persistable LSH state of a corpus:
+    minhash signatures banded into ``bands`` xxhash64 bucket keys.  This is
+    THE table an incremental pipeline writes per run (parquet/Iceberg) so
+    tomorrow's ingestion never recomputes yesterday's signatures; band
+    buckets are a pure function of (text, n_perm, bands, n, seed), so
+    states from different runs union freely under the same parameters."""
+    rows = n_perm // bands
+    sig = _minhash_signatures(df, text_col, n_perm, n, seed)
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.xxhash64(F.concat_ws(
+                ",", F.slice("sig", bidx * rows + 1, rows)), bidx),
+        )).alias("band", "bucket"),
+    )
+
+
+def minhash_lsh_pairs_incremental(new_docs: DataFrame, prior_bands: DataFrame,
+                                  old_docs: DataFrame,
+                                  text_col: str = "text",
+                                  threshold: float = 0.5, n_perm: int = 128,
+                                  bands: int = 64, n: int = NGRAM,
+                                  seed: int = 0x5EED_1559) -> DataFrame:
+    """Ingestion-day near-dup detection (VERDICT r4 #6): all verified pairs
+    TOUCHING a new document — new×new plus new×old — without recomputing
+    the old corpus's signatures.
+
+        minhash_lsh_pairs(old ∪ new) ≡ minhash_lsh_pairs(old)        [prior]
+                                       ∪ this                  [incremental]
+
+    (pytest-pinned set equality; the three pair sets are disjoint by
+    construction).
+
+    Scale shape: signatures/bands compute for the NEW slice only; the
+    candidate join probes new bands against (prior ∪ new) bands — an
+    equi-join on (band, bucket) whose left side is ingestion-sized.  The
+    exact-Jaccard verify reads old TEXT only for the old docs that appear
+    in candidate pairs (a semi-join sliver, pushdown-friendly) — the one
+    part of the old corpus any exact verifier must touch.  ``prior_bands``
+    must come from ``minhash_bands`` with identical parameters; persist
+    ``prior_bands ∪ minhash_bands(new_docs)`` for the next run."""
+    new_docs = _spread(new_docs)
+    new_bands = minhash_bands(new_docs, text_col, n_perm, bands, n, seed)
+    all_bands = prior_bands.unionByName(new_bands)
+    cand = (new_bands.alias("x")
+            .join(all_bands.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bucket") == F.col("y.bucket"))
+                  & (F.col("x.doc_id") != F.col("y.doc_id")))
+            .select(F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                    F.greatest("x.doc_id", "y.doc_id").alias("doc_b"))
+            .distinct())
+    new_ids = new_docs.select("doc_id").distinct()
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    old_sub = (old_docs.join(cand_ids, "doc_id", "left_semi")
+               .join(new_ids, "doc_id", "left_anti"))
+    sh = _shingles(new_docs.select("doc_id", text_col)
+                   .unionByName(old_sub.select("doc_id", text_col)),
+                   text_col, n).cache()
+    return _verify_pairs_exact_jaccard(cand, sh, threshold)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       threshold: float = 0.5, n_perm: int = 128,
                       bands: int = 64, n: int = NGRAM,
@@ -400,16 +489,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     collisions are ever verified (the 100 TB path: no all-pairs join).
     """
     df = _spread(df)
-    rows = n_perm // bands
-    sig = _minhash_signatures(df, text_col, n_perm, n, seed)
-    bands_df = sig.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bidx: F.xxhash64(F.concat_ws(
-                ",", F.slice("sig", bidx * rows + 1, rows)), bidx),
-        )).alias("band", "bucket"),
-    )
+    bands_df = minhash_bands(df, text_col, n_perm, bands, n, seed)
     cand = (bands_df.alias("x")
             .join(bands_df.alias("y"),
                   (F.col("x.band") == F.col("y.band"))

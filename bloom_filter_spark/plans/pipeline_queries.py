@@ -33,6 +33,33 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Cross-run incremental exact dedup (dedup.exact_dedup_incremental):
+    even doc_ids play yesterday's corpus (their dedup table is the prior
+    state), odd doc_ids are today's ingestion.  The fold must equal the
+    one-shot dedup of ALL documents — the oracle is the one-shot SQL."""
+    docs = _docs(spark, sf_dir)
+    prior = dedup.exact_dedup(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.exact_dedup_incremental(prior,
+                                         docs.where(F.col("doc_id") % 2 == 1))
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Cross-run incremental near-dup (dedup.minhash_lsh_pairs_incremental):
+    prior run = even doc_ids (pairs + persisted band state); incremental
+    run verifies only pairs touching the odd-id ingestion, reading old
+    text solely for candidate docs.  prior ∪ incremental must equal the
+    one-shot pair set over all documents — same exact-Jaccard SQL oracle
+    as dedup_minhash_lsh."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    prior = dedup.minhash_lsh_pairs(old, threshold=JACCARD_TAU)
+    inc = dedup.minhash_lsh_pairs_incremental(
+        new, dedup.minhash_bands(old), old, threshold=JACCARD_TAU)
+    return prior.unionByName(inc)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # df_cap=1000 is the scale configuration (hot-shingle candidate bound);
     # exactness at this cap is proven vs the uncapped twin in
@@ -701,8 +728,10 @@ def q_weighted_sample_per_source(spark, sf_dir):
 
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_minhash_incremental": q_minhash_incremental,
     "dedup_simhash": q_simhash,
     "dedup_neardup_clusters": q_neardup_clusters,
     "embedding_cosine_topk": q_cosine_topk,
@@ -1360,4 +1389,9 @@ def pipeline_oracles() -> dict[str, str]:
         out["streaming_late_data_drop"] = _late_drop_sql()
     except Exception:
         pass
+    # incremental two-step ≡ one-shot is the OPERATOR's contract, so the
+    # one-shot oracles ARE the incremental queries' oracles — the driver
+    # row proves the fold against independent SQL, not just self-consistency
+    out["dedup_exact_incremental"] = out["dedup_exact"]
+    out["dedup_minhash_incremental"] = _JACCARD_SQL
     return out

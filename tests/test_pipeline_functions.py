@@ -859,3 +859,42 @@ def test_contamination_distributed_route_identical(spark, docs):
     big = {tuple(r) for r in
            contamination_check(tr, ev, max_driver_grams=1).collect()}
     assert small == big and len(small) > 0
+
+
+def test_exact_dedup_incremental_equals_oneshot(spark, docs, tmp_path):
+    """(old ∪ new) one-shot ≡ incremental two-step, with the prior state
+    round-tripped through parquet (the cross-run persistence contract)."""
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "prior_exact")
+    dedup.exact_dedup(old).write.parquet(p)
+    prior = spark.read.parquet(p)
+    inc = {tuple(r) for r in
+           dedup.exact_dedup_incremental(prior, new).collect()}
+    oneshot = {tuple(r) for r in dedup.exact_dedup(docs).collect()}
+    assert inc == oneshot and len(oneshot) > 0
+
+
+def test_minhash_incremental_equals_oneshot(spark, docs, tmp_path):
+    """prior-run pairs ∪ incremental pairs ≡ one-shot pairs over old ∪ new,
+    band state round-tripped through parquet; the two sets are disjoint
+    (incremental pairs all touch a new doc)."""
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "bands")
+    dedup.minhash_bands(old).write.parquet(p)
+    bands = spark.read.parquet(p)
+
+    def pairset(df):
+        return {(int(r.doc_a), int(r.doc_b), round(float(r.jaccard), 9))
+                for r in df.collect()}
+
+    prior = pairset(dedup.minhash_lsh_pairs(old, threshold=0.5))
+    inc = pairset(dedup.minhash_lsh_pairs_incremental(
+        new, bands, old, threshold=0.5))
+    oneshot = pairset(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    assert prior | inc == oneshot
+    assert not (prior & inc)
+    new_ids = {int(r.doc_id) for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+    assert inc  # fixture has cross-slice near-dups
