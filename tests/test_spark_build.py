@@ -581,3 +581,49 @@ def test_sharded_changelog_checkpoint_resume(spark, tokens_df, tmp_path):
     # and the final table holds it too
     fblob, fn = ck.read_final(spark, "cb_shard")
     assert fblob == direct and fn == n_direct
+
+
+def test_shard_merge_exactly_one_exchange_per_wave(spark):
+    """Plan-shape pin for merge_shard_partials (VERDICT r4 #7): each merge
+    wave is ONE hash Exchange (the groupBy on shard_id / (shard_id, grp)).
+    The trap this guards: deriving the fold key from an expression
+    evaluated at merge time (e.g. Window.partitionBy(spark_partition_id))
+    silently added a second full-data Exchange once before — src is now a
+    persisted COLUMN, so the level grouping must not re-shuffle anything
+    beyond its own groupBy."""
+    from bloom_filter_spark.operators.build import (
+        build_delta_shard_partials, merge_shard_partials)
+    from bloom_filter_spark.sketches import BloomParams, CountingBloomSketch
+
+    df = spark.createDataFrame(
+        [(f"doc_{i}", 1) for i in range(2000)], "id string, sign int"
+    ).repartition(8)
+    sk = CountingBloomSketch(BloomParams(n=4000, p=0.01))
+    partials = build_delta_shard_partials(df, sk, "id", "sign",
+                                          value_kind="str", n_shards=4)
+
+    # single wave (P <= fanin): exactly one Exchange in the whole merge
+    merged = merge_shard_partials(partials, sk, est_partials=8)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the input repartition is a RoundRobin Exchange; the merge itself must
+    # contribute exactly its groupBy hash Exchanges and nothing more
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    # forced pre-level (tiny est_partials => while-loop runs): one
+    # Exchange PER wave - groupBy(shard_id, grp) then groupBy(shard_id) -
+    # and none anywhere else (no hidden full-data shuffle from the src
+    # column or the level renumbering)
+    from bloom_filter_spark.operators import merge as merge_mod
+    fanin = max(2, int(merge_mod.AUTO_TREE_THRESHOLD_BYTES
+                       // max(1, merge_mod.state_size_estimate(sk)
+                              // sk.shard_count())))
+    waves = 1
+    p = 1000 * fanin  # pretend a 1000x fleet: ceil-log_fanin levels
+    while p > fanin:
+        waves += 1
+        p = -(-p // fanin)
+    merged_big = merge_shard_partials(partials, sk,
+                                      est_partials=1000 * fanin)
+    plan_big = merged_big._jdf.queryExecution().executedPlan().toString()
+    assert plan_big.count("Exchange hashpartitioning") == waves, \
+        (waves, plan_big)
