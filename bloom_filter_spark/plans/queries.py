@@ -996,46 +996,16 @@ _ALL_QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
 
 # The driver's correctness gate checks AT MOST the first 50 registry entries
 # (insertion order).  With >50 registered queries, ordering decides which
-# rows get a fresh CORRECTNESS_r{N} check.  Policy (VERDICT r3 #1):
-#   head — queries with no driver-green row yet, or whose code changed this
-#          round;
-#   tail — long-stable rows (green since r1/r2, code untouched) absorb the
-#          >50 truncation.  Everything else keeps its relative order in
-#          between.
+# rows get a fresh CORRECTNESS_r{N} check.  Policy (VERDICT r3 #1 + r4 #1):
+#   head — (a) queries whose last driver row is TWO rounds old (stable rows
+#          ROTATE through the head so every query gets a driver row at most
+#          every other round), then (b) queries new this round, then
+#          (c) queries whose code changed this round;
+#   tail — rows green LAST round with code untouched this round absorb the
+#          >50 truncation (they rotate into the head next round under (a)).
 _HEAD = [
-    # never driver-checked before r4 (registry positions 55-59 in r3)
-    "weighted_sample_docs",
-    "weighted_sample_per_source",
-    "events_asof_attribution",
-    "events_range_join",
-    "quantile_range_partitioning",
-    # r2-green relational rows that fell outside r3's 50-query window
-    "tpch_q1",
-    "top_customer_per_nation",
-    "events_sessionize",
-    "event_type_stats",
-    "lineitem_shipdate_rollup",
-    # code changed in r4 (counting-bloom shard state, grouped auto-route)
-    "cbloom_delete_probe",
-    "streaming_cbloom_retractions",
-    "hll_distinct_per_source",
-    "kll_grouped_quantiles_per_source",
-    "mg_grouped_heavy_hitters_per_source",
-    # new in r4 (training-data curation: decontamination + boilerplate +
-    # deterministic splits + repetition signal + theta A-NOT-B)
-    "text_contamination_check",
-    "text_boilerplate_ngrams",
-    "docs_hash_split",
-    "docs_stratified_sample",
-    "docs_pack_offsets",
-    "text_repetition_score",
-    "kmv_source_difference",
-    "streaming_windowed_distinct_hll",
-    "tpch_q3",
-    "tpch_q6",
-]
-_TAIL = [
-    # green every round since r1/r2; code untouched in r4
+    # (a) r3-green tail rows, skipped by design in r4 — two rounds stale,
+    # rotated to the front (VERDICT r4 #1)
     "bloom_membership_fpr",
     "bloom_token_intersection",
     "kmv_distinct_tokens",
@@ -1056,6 +1026,71 @@ _TAIL = [
     "multimodal_meta",
     "curation_pipeline",
     "streaming_windowed_counts",
+    # (b) new in r5: sliced as-of plan under the shared ASOF oracle,
+    # substring-level exact dedup, cross-run incremental dedup ×2
+    "events_asof_attribution_sliced",
+    "text_repeated_spans",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
+    # (c) code changed in r5: zero-copy StrBuf string hashing (every
+    # str-keyed sketch path), update-density-aware bloom bit staging,
+    # merge collect-vs-tree routing, shard-partial src provenance +
+    # checkpoint est_rows, sliced as-of null guard, contamination
+    # distributed-eval route, minhash band-state refactor
+    "bloom_membership_present",
+    "blocked_bloom_xxh3_doc_membership",
+    "cuckoo_delete_probe",
+    "cbloom_delete_probe",
+    "streaming_cbloom_retractions",
+    "bloom_checkpoint_resume",
+    "streaming_bloom_equals_batch",
+    "bloom_cardinality_estimate",
+    "text_contamination_check",
+    "dedup_minhash_lsh",
+    "dedup_neardup_clusters",
+    "events_asof_attribution",
+    "hll_distinct_tokens",
+    "hll_distinct_per_source",
+    "kmv_source_intersection",
+    "kmv_source_difference",
+    "cms_heavy_hitters",
+    "tdigest_rank_probe",
+    "kll_grouped_quantiles_per_source",
+    "mg_grouped_heavy_hitters_per_source",
+    "streaming_windowed_distinct_hll",
+    "streaming_stateful_sources",
+    "bloom_prefilter_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "streaming_late_data_drop",
+]
+_TAIL = [
+    # r4-green, code untouched in r5 — absorb the >50 truncation and
+    # rotate into the head in r6 under rule (a)
+    "weighted_sample_docs",
+    "weighted_sample_per_source",
+    "events_range_join",
+    "quantile_range_partitioning",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "top_customer_per_nation",
+    "events_sessionize",
+    "event_type_stats",
+    "lineitem_shipdate_rollup",
+    "text_boilerplate_ngrams",
+    "docs_hash_split",
+    "docs_stratified_sample",
+    "docs_pack_offsets",
+    "text_repetition_score",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "embedding_cosine_neardup",
+    "embedding_lsh_topk",
+    "embedding_lsh_topk_fullprobe",
+    "embedding_lsh_neardup",
+    "embedding_ivf_topk",
+    "embedding_ivf_topk_fullprobe",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}
