@@ -150,7 +150,11 @@ def main() -> None:
     # to_pylist path it replaced: BENCH/AB_strbuf.json (build 3.3×,
     # probe 12.0× best-of-5).  Ids generate in-plan (no scan, no shuffle:
     # the timed region is the hash+fold+merge itself).
-    n_ids = max(int(n_tokens // 4), 100_000)
+    # capped at 4M keys: the line times the STRING hot path (hash + fold +
+    # merge at a fixed 2^26-bit / 8.4 MB filter) — uncapped, sf0.1's 38M
+    # ids turn it into a wide-state fold stress test that belongs to the
+    # cbloom sharded evidence, not this line
+    n_ids = min(max(int(n_tokens // 4), 100_000), 4_000_000)
     doc_ids = spark.range(n_ids).select(
         F.concat(F.lit("doc_"), F.lpad(F.col("id").cast("string"), 9, "0"))
          .alias("doc_id"))
