@@ -61,17 +61,18 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     if dedup:
         sel = sel.groupBy("id").agg(F.max("weight").alias("weight"))
 
-    def add_keys(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy(np.int64)
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "weight": pdf["weight"],
-                "logkey": weighted_logkeys_np(ids, pdf["weight"].to_numpy(),
-                                              seed),
-            })
+    def add_keys(batches):
+        import pyarrow as pa
+        for b in batches:  # mapInArrow: engine convention, no pandas objects
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            w = b.column(1).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1),
+                 pa.array(weighted_logkeys_np(ids, w, seed), pa.float64())],
+                ["id", "weight", "logkey"])
 
-    keyed = sel.mapInPandas(add_keys, "id long, weight double, logkey double")
+    keyed = sel.mapInArrow(add_keys, "id long, weight double, logkey double")
     return (keyed.orderBy(F.desc("logkey"), F.asc("id")).limit(k)
             .select(F.col("id").alias(id_col),
                     F.col("weight").alias(weight_col), "logkey"))
@@ -93,16 +94,18 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
                      F.col(weight_col).cast("double").alias("weight"))
            .where(F.col("weight") > 0).where(~F.isnan("weight")))
 
-    def add_keys(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy(np.int64)
-            yield pd.DataFrame({
-                "id": pdf["id"], "grp": pdf["grp"], "weight": pdf["weight"],
-                "logkey": weighted_logkeys_np(ids, pdf["weight"].to_numpy(),
-                                              seed),
-            })
+    def add_keys(batches):
+        import pyarrow as pa
+        for b in batches:  # mapInArrow: engine convention, no pandas objects
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            w = b.column(2).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), b.column(2),
+                 pa.array(weighted_logkeys_np(ids, w, seed), pa.float64())],
+                ["id", "grp", "weight", "logkey"])
 
-    keyed = sel.mapInPandas(
+    keyed = sel.mapInArrow(
         add_keys, "id long, grp string, weight double, logkey double")
     win = Window.partitionBy("grp").orderBy(F.desc("logkey"), F.asc("id"))
     return (keyed.withColumn("rn", F.row_number().over(win))

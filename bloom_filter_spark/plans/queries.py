@@ -1060,15 +1060,16 @@ _HEAD = [
     "streaming_windowed_distinct_hll",
     "streaming_stateful_sources",
     "bloom_prefilter_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "streaming_late_data_drop",
+    # weighted sampling switched mapInPandas -> mapInArrow this round
+    "weighted_sample_docs",
+    "weighted_sample_per_source",
 ]
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
-    "weighted_sample_docs",
-    "weighted_sample_per_source",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
     "events_range_join",
     "quantile_range_partitioning",
     "tpch_q1",
