@@ -168,13 +168,21 @@ def arrow_strbuf(arr) -> "StrBuf | None":
         arr = arr.drop_null()
     n = len(arr)
     bufs = arr.buffers()
-    if n == 0 or bufs[2] is None:
+    if n == 0:
         return StrBuf(np.empty(0, np.uint8), np.empty(0, np.intp),
                       np.empty(0, np.intp))
     itemsize = np.dtype(off_dtype).itemsize
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1,
-                            offset=arr.offset * itemsize)
-    flat = np.frombuffer(bufs[2], dtype=np.uint8)
+    # a NULL offsets/data buffer with n > 0 rows is a legal Arrow layout
+    # (all offsets 0 / all values empty — e.g. IPC from other producers):
+    # those are n EMPTY keys, which must still hash and count — not zero
+    # rows (code-review r5)
+    if bufs[1] is None:
+        offsets = np.zeros(n + 1, dtype=off_dtype)
+    else:
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1,
+                                offset=arr.offset * itemsize)
+    flat = (np.empty(0, np.uint8) if bufs[2] is None
+            else np.frombuffer(bufs[2], dtype=np.uint8))
     return StrBuf(flat, offsets[:-1].astype(np.intp, copy=False),
                   (offsets[1:] - offsets[:-1]).astype(np.intp))
 

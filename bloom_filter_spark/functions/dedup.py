@@ -108,14 +108,18 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
     from ..sketches import BloomParams, BloomSketch
 
     spark = train.sparkSession
-    ev_sh = _shingles(eval_docs, text_col, n).select("shingle").distinct()
-    est = int(_shingles(eval_docs, text_col, n)
-              .agg(F.approx_count_distinct("shingle", rsd=0.1))
-              .collect()[0][0])
+    # ONE eval-side shingle scan: the distinct gram table is cached
+    # (MEMORY_AND_DISK), its exact count routes the path, and the routing
+    # consumer (driver collect, or executor build + confirm join) reads the
+    # cache instead of re-deriving the explode+distinct (code-review r5)
+    ev_sh = (_shingles(eval_docs, text_col, n).select("shingle").distinct()
+             .persist())
+    est = ev_sh.count()  # exact — also materializes the cache
     tr = _shingles(train, text_col, n)
     sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     if est <= max_driver_grams:
         grams = [r.shingle for r in ev_sh.collect()]
+        ev_sh.unpersist()
         sketch = BloomSketch(BloomParams(n=max(len(grams), 64), p=p))
         state = sketch.empty()
         if grams:
@@ -127,7 +131,9 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
         from ..operators import build_sketch
         sketch = BloomSketch(BloomParams(n=max(int(est * 1.3), 64), p=p))
         blob, _ = build_sketch(ev_sh, sketch, "shingle", value_kind="str")
-        confirm = ev_sh  # plain equi-join; AQE sizes the post-filter sliver
+        # the confirm join consumes the same cache lazily; it stays
+        # persisted for the caller's action (LRU-evictable, disk-backed)
+        confirm = ev_sh
     probe = membership_udf(spark, blob, "bloom", "str")
     hits = (tr.where(probe(F.col("shingle")))
             .join(confirm, "shingle")
@@ -181,10 +187,11 @@ def repeated_spans(df: DataFrame, text_col: str = "text", width: int = NGRAM,
     Scale shape — the boilerplate_ngrams word-count groupBy, position-
     carrying: the posexplode stream is corpus-sized but flows straight into
     (a) a distinct + groupBy(span) document-frequency count (map-side
-    combine) and (b) an equi-join against the surviving repeated-span set.
-    That set is small by construction (only spans in ≥ min_docs docs) and
-    broadcasts; nothing is all-pairs and the run merge is one window per
-    doc over the doc's own matches.  Reference parity: the reference has
+    combine) and (b) an equi-join against the surviving repeated-span set
+    (AQE broadcasts it when it is actually small — on duplication-heavy
+    corpora it is corpus-scale, so the join is never force-broadcast);
+    nothing is all-pairs and the run merge is one window per doc over the
+    doc's own matches.  Reference parity: the reference has
     no curation surface; this extends SURVEY.md §2's mandated dedup family.
     """
     grams, k = gram_array(text_col, width)
@@ -193,8 +200,11 @@ def repeated_spans(df: DataFrame, text_col: str = "text", width: int = NGRAM,
     rep = (sp.select("doc_id", "span").distinct()
            .groupBy("span").agg(F.count("*").cast("long").alias("n_docs"))
            .where(F.col("n_docs") >= min_docs))
-    occ = sp.join(F.broadcast(rep), "span").select("doc_id", "pos", "span",
-                                                   "n_docs")
+    # NOT force-broadcast: with min_docs this low the repeated-span set is
+    # data-dependent and unbounded on duplication-heavy corpora (the target
+    # workload) — AQE broadcasts from its REAL size, the same rule the
+    # candidate joins in this module follow (code-review r5)
+    occ = sp.join(rep, "span").select("doc_id", "pos", "span", "n_docs")
     if not merge_runs:
         return occ
     from pyspark.sql import Window

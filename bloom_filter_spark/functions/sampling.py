@@ -56,7 +56,11 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     sel = (df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(weight_col).cast("double").alias("weight"))
            # NB Spark orders NaN ABOVE all numerics, so `weight > 0` alone
-           # would pass NaN weights straight into the top of the sample
+           # would pass NaN weights straight into the top of the sample.
+           # NULL ids are dropped in-plan: the deterministic key is a
+           # function of the id, and Arrow would otherwise turn the null
+           # into INT64_MIN garbage that could win a slot (code-review r5)
+           .where(F.col("id").isNotNull())
            .where(F.col("weight") > 0).where(~F.isnan("weight")))
     if dedup:
         sel = sel.groupBy("id").agg(F.max("weight").alias("weight"))
@@ -92,6 +96,7 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
                      # come back stringified
                      F.col(group_col).cast("string").alias("grp"),
                      F.col(weight_col).cast("double").alias("weight"))
+           .where(F.col("id").isNotNull())  # see weighted_sample_topk
            .where(F.col("weight") > 0).where(~F.isnan("weight")))
 
     def add_keys(batches):

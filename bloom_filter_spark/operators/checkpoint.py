@@ -151,11 +151,29 @@ class SketchCheckpoint:
         base = os.path.join(self._tbl("sketch_state"), f"sketch_id={sketch_id}")
         raw = spark.read.parquet(self._latest_run_path(base))
         if raw.where(F.col("level") == SHARD_LEVEL).limit(1).count():
+            from pyspark.sql import Window
+
             from .build import merge_shard_partials
-            extra = ["src"] if "src" in raw.columns else []
             shards = (raw.where(F.col("level") == SHARD_LEVEL)
                       .select(F.col("partition_id").cast("int")
-                              .alias("shard_id"), *extra, "n_items", "state"))
+                              .alias("shard_id"),
+                              *(["src"] if "src" in raw.columns else []),
+                              "n_items", "state"))
+            if "src" not in raw.columns:
+                # legacy (pre-src) checkpoint: the parquet read-back packs
+                # many same-shard rows per partition, so the merge's
+                # spark_partition_id fallback would collapse origins into
+                # one (shard, grp) group and blow the fanin byte budget —
+                # synthesize a distinct per-row src instead.  Ordering by
+                # the state hash is deterministic given distinct blobs;
+                # ties are identical blobs, for which fold order cannot
+                # matter (code-review r5).
+                w = Window.partitionBy("shard_id").orderBy(
+                    F.xxhash64("state"), "n_items")
+                shards = shards.select(
+                    "shard_id",
+                    (F.row_number().over(w) - 1).cast("long").alias("src"),
+                    "n_items", "state")
             cnt = shards.count()
             n_shards = shards.select("shard_id").distinct().count()
             rows = merge_shard_partials(

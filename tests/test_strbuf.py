@@ -135,3 +135,22 @@ def test_spark_str_build_probe_end_to_end(spark):
     out = (membership_scan(df, "id", spark, blob, "bloom", value_kind="str")
            .groupBy().sum().collect()[0])
     assert out[0] == len(ids) and out[1] == len(ids)  # zero FN, null skipped
+
+
+def test_arrow_strbuf_null_buffers_all_empty_keys():
+    """n > 0 rows with NULL offsets/data buffers (legal Arrow layout for
+    all-empty values) are n EMPTY keys — they hash and count, they do not
+    vanish (code-review r5)."""
+    n = 5
+    off = pa.py_buffer(np.zeros(n + 1, np.int32).tobytes())
+    # this pyarrow build rejects a NULL data buffer at construction, so the
+    # closest constructible layout is a zero-length data buffer; the
+    # None-buffer branches in arrow_strbuf remain as defensive handling for
+    # IPC-produced arrays that skip validation
+    arr = pa.Array.from_buffers(pa.string(), n, [None, off, pa.py_buffer(b"")])
+    buf = H.arrow_strbuf(arr)
+    assert len(buf) == n
+    want = H.hash64_bytes([b""] * n)
+    assert np.array_equal(H.hash64_str(buf), want)
+    assert np.array_equal(H.hash64_str(H.arrow_strbuf(pa.array([""] * n))),
+                          want)
