@@ -131,8 +131,12 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
         from ..operators import build_sketch
         sketch = BloomSketch(BloomParams(n=max(int(est * 1.3), 64), p=p))
         blob, _ = build_sketch(ev_sh, sketch, "shingle", value_kind="str")
-        # the confirm join consumes the same cache lazily; it stays
-        # persisted for the caller's action (LRU-evictable, disk-backed)
+        # release the cache now that the eager consumers (count + build)
+        # have read it — a long-running pipeline calling this repeatedly
+        # would otherwise leak one cached gram table per call.  The lazy
+        # confirm join recomputes the distinct once in the caller's
+        # action; bounded storage beats the leak (code-review r5).
+        ev_sh.unpersist()
         confirm = ev_sh
     probe = membership_udf(spark, blob, "bloom", "str")
     hits = (tr.where(probe(F.col("shingle")))

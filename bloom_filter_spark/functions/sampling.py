@@ -41,6 +41,24 @@ def weighted_logkeys_np(ids: np.ndarray, weights: np.ndarray,
     return np.log(u) / w
 
 
+def _long_id_guarded(id_col: str):
+    """cast(id AS long) that FAILS LOUD when the cast nulls a non-null id
+    (e.g. a string id column): the null-id drop downstream would otherwise
+    turn caller misuse into a silently empty sample (code-review r5).
+    Genuinely NULL source ids still pass through as NULL (dropped, by
+    contract)."""
+    idc = F.col(id_col)
+    # try_cast: NULL on failure in ANSI and non-ANSI modes alike, so the
+    # guard (not ANSI's generic CAST_INVALID_INPUT, which non-ANSI configs
+    # never raise) is what fires — one clear message in every mode
+    cast_id = idc.try_cast("long")
+    return F.when(
+        idc.isNotNull() & cast_id.isNull(),
+        F.raise_error(F.lit(
+            f"weighted_sample: id column '{id_col}' is not castable to "
+            f"long — pass a numeric id column"))).otherwise(cast_id)
+
+
 def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
                          k: int, seed: int = hashing.DEFAULT_SEED,
                          dedup: bool = False) -> DataFrame:
@@ -53,7 +71,7 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     id/weight columns, never the payload, then the draw is exactly the
     distinct-id draw.
     """
-    sel = (df.select(F.col(id_col).cast("long").alias("id"),
+    sel = (df.select(_long_id_guarded(id_col).alias("id"),
                      F.col(weight_col).cast("double").alias("weight"))
            # NB Spark orders NaN ABOVE all numerics, so `weight > 0` alone
            # would pass NaN weights straight into the top of the sample.
@@ -90,7 +108,7 @@ def weighted_sample_per_group(df: DataFrame, id_col: str, weight_col: str,
     replaces the global top-k, so the only exchange is the window's
     hash-partition on ``group_col`` over (id, group, weight) rows — payload
     columns never move, and no per-group state touches the driver."""
-    sel = (df.select(F.col(id_col).cast("long").alias("id"),
+    sel = (df.select(_long_id_guarded(id_col).alias("id"),
                      # grp crosses the Arrow boundary as string (the
                      # build_grouped convention); non-string group columns
                      # come back stringified

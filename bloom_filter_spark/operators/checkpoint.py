@@ -159,6 +159,11 @@ class SketchCheckpoint:
                               .alias("shard_id"),
                               *(["src"] if "src" in raw.columns else []),
                               "n_items", "state"))
+            # count jobs run on the PRE-window plan: neither depends on the
+            # synthesized src, and putting them after the window would
+            # re-shuffle/sort every state blob once per count job
+            cnt = shards.count()
+            n_shards = shards.select("shard_id").distinct().count()
             if "src" not in raw.columns:
                 # legacy (pre-src) checkpoint: the parquet read-back packs
                 # many same-shard rows per partition, so the merge's
@@ -174,8 +179,6 @@ class SketchCheckpoint:
                     "shard_id",
                     (F.row_number().over(w) - 1).cast("long").alias("src"),
                     "n_items", "state")
-            cnt = shards.count()
-            n_shards = shards.select("shard_id").distinct().count()
             rows = merge_shard_partials(
                 shards, sketch,
                 est_partials=-(-cnt // max(1, n_shards))).collect()

@@ -898,3 +898,21 @@ def test_minhash_incremental_equals_oneshot(spark, docs, tmp_path):
     new_ids = {int(r.doc_id) for r in new.select("doc_id").collect()}
     assert all(a in new_ids or b in new_ids for a, b, _ in inc)
     assert inc  # fixture has cross-slice near-dups
+
+
+def test_weighted_sample_uncastable_id_fails_loud(spark):
+    """A string id column (cast→long nulls every row) must raise, not
+    return a silently empty sample (code-review r5); genuinely NULL ids
+    are still dropped silently by contract."""
+    from bloom_filter_spark.functions.sampling import (
+        weighted_sample_per_group, weighted_sample_topk)
+    bad = spark.createDataFrame([("docA", 1.0, "en"), ("docB", 2.0, "de")],
+                                "doc_id string, w double, lang string")
+    with pytest.raises(Exception, match="not castable"):
+        weighted_sample_topk(bad, "doc_id", "w", k=2).collect()
+    with pytest.raises(Exception, match="not castable"):
+        weighted_sample_per_group(bad, "doc_id", "w", "lang", k=2).collect()
+    ok = spark.createDataFrame([(1, 1.0, "en"), (None, 2.0, "de")],
+                               "doc_id long, w double, lang string")
+    got = weighted_sample_topk(ok, "doc_id", "w", k=5).collect()
+    assert [r.doc_id for r in got] == [1]

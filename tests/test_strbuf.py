@@ -154,3 +154,29 @@ def test_arrow_strbuf_null_buffers_all_empty_keys():
     assert np.array_equal(H.hash64_str(buf), want)
     assert np.array_equal(H.hash64_str(H.arrow_strbuf(pa.array([""] * n))),
                           want)
+
+
+def test_arrow_strbuf_none_buffer_branches_via_stub():
+    """This pyarrow build refuses to CONSTRUCT arrays with NULL
+    offsets/data buffers, but other Arrow producers (IPC) can ship them —
+    drive arrow_strbuf's None-buffer branches directly through a minimal
+    stub exposing the attribute surface it reads (code-review r5)."""
+    class _Stub:
+        type = pa.string()
+        null_count = 0
+        offset = 0
+        def __init__(self, n, bufs):
+            self._n, self._bufs = n, bufs
+        def __len__(self):
+            return self._n
+        def buffers(self):
+            return self._bufs
+
+    want = H.hash64_bytes([b""] * 4)
+    # offsets None, data None → 4 empty keys
+    b1 = H.arrow_strbuf(_Stub(4, [None, None, None]))
+    assert len(b1) == 4 and np.array_equal(H.hash64_str(b1), want)
+    # offsets present (all zero), data None → 4 empty keys
+    off = pa.py_buffer(np.zeros(5, np.int32).tobytes())
+    b2 = H.arrow_strbuf(_Stub(4, [None, off, None]))
+    assert len(b2) == 4 and np.array_equal(H.hash64_str(b2), want)
