@@ -295,3 +295,62 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str,
                     F.col("_len").alias(len_col), start)
             .withColumn("bin_id", F.expr(f"start_offset div {bi}"))
             .withColumn("bin_offset", F.expr(f"start_offset % {bi}")))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int, salt: str = "",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (the pretraining data-order
+    op): every row gets ``shuffle_key = md5(id ‖ 'e<epoch>' ‖ salt)`` and
+    the output is globally ordered by it — a different, reproducible
+    permutation per epoch.
+
+    Spark-first scale shape: ``repartitionByRange(shuffle_key)`` + a local
+    sort per partition — a range Exchange and P independent sorts, NEVER a
+    global sort (reading partitions in index order yields the total
+    order).  The key is a pure function of (id, epoch, salt): resuming a
+    crashed epoch reproduces the identical order, and engines agree on it
+    (the oracle recomputes the same md5 arithmetic).  NULL ids have no
+    stable key and are dropped (a shuffle position for an unidentifiable
+    row is undefined)."""
+    key = _hash_u32(id_col, f"e{int(epoch)}{salt}")
+    out = (df.where(F.col(id_col).isNotNull())
+           .withColumn("shuffle_key", key))
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (out.repartitionByRange(parts, "shuffle_key", id_col)
+            .sortWithinPartitions("shuffle_key", id_col))
+
+
+def mixture_sample(df: DataFrame, id_col: str, source_col: str,
+                   epochs: dict[str, float], default_epochs: float = 1.0,
+                   salt: str = "") -> DataFrame:
+    """Data-mixture construction with per-source epoch factors (the 'wiki
+    ×2.5, web ×0.3' pretraining recipe): each row is emitted
+    ``floor(e)`` times plus one more iff its hash falls under frac(e) —
+    deterministic oversampling AND undersampling in one pure-function op.
+
+    → input columns + ``copy`` (1-based repeat index).  Join-free and
+    shuffle-free (the explode is row-local); expected multiplicity of
+    every doc is exactly its source's e; reproducible across runs,
+    retries, partitionings and engines (the oracle recomputes the same
+    md5 arithmetic + generate_series).  NULL ids can't take the
+    fractional draw (no stable hash), so they are dropped — never
+    silently over- or under-mixed."""
+    import math
+    for name, e in epochs.items():
+        if not (math.isfinite(e) and e >= 0):
+            raise ValueError(f"epochs for {name!r} must be finite ≥ 0")
+    if not (math.isfinite(default_epochs) and default_epochs >= 0):
+        raise ValueError("default_epochs must be finite ≥ 0")
+    e_col = F.lit(float(default_epochs))
+    for name, e in epochs.items():
+        e_col = F.when(F.col(source_col) == name,
+                       F.lit(float(e))).otherwise(e_col)
+    n_full = F.floor(e_col).cast("long")
+    frac_thr = ((e_col - F.floor(e_col)) * F.lit(float(1 << 32))).cast("long")
+    h = _hash_u32(id_col, salt + "mix")
+    n_copies = n_full + (h < frac_thr).cast("long")
+    return (df.where(F.col(id_col).isNotNull())
+            .withColumn("copy", F.explode(
+                F.when(n_copies >= 1,
+                       F.sequence(F.lit(1).cast("long"), n_copies))
+                .otherwise(F.array().cast("array<long>")))))

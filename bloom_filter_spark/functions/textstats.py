@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import StringType
 
 # minimal stopword set shared with the SQL oracle (ASCII, lowercase corpus)
@@ -141,3 +141,37 @@ def repetition_score(df: DataFrame, text_col: str = "text",
                      .alias("repetition_ratio"),
                     F.round(F.col("top_c") / F.col("n_grams_total"), 6)
                      .alias("top_gram_frac")))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by exact TF-IDF — the
+    keyword/topic signal a curation pipeline uses for corpus composition
+    audits.  score = tf × ln(N / df), tf the in-doc term count, df the
+    number of DISTINCT docs containing the term, N the doc count;
+    → (doc_id, term, tf, df, score[6dp], rank).
+
+    Scale shape: two word-count-shaped groupBys (term counts per doc; doc
+    frequency over distinct (doc, term)) — both map-side-combining
+    equi-shuffles — then a window top-k per doc.  The df table joins back
+    by term (AQE broadcasts it when small); N is one count.  All
+    arithmetic is exact and engine-independent (ln + 6-dp round), so the
+    DuckDB oracle reproduces scores bit-for-bit; ties rank by term ASC so
+    both engines agree."""
+    words = (df.select("doc_id",
+                       F.explode(F.split(F.col(text_col), " ")).alias("term"))
+             .where(F.col("term") != ""))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select("doc_id").distinct().count()
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                  6)))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "score",
+                    F.col("rank").cast("long").alias("rank")))

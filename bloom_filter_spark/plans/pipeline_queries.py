@@ -198,6 +198,44 @@ def q_repeated_spans(spark, sf_dir):
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SALT = "r4"
 
+_SHUFFLE_EPOCH, _SHUFFLE_SALT = 2, "r5"
+# oversample ×2.5, fractional-only ×0.3, drop ×0, default ×1.0 — one query
+# exercises every arm of the mixture arithmetic
+_MIX_EPOCHS = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+TFIDF_K = 5
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle (sampling.epoch_shuffle):
+    shuffle_key = md5(id ‖ 'e<epoch>' ‖ salt), realized as ONE range
+    Exchange + per-partition sorts — never a global sort.  The driver's
+    order-insensitive compare pins the key arithmetic against the
+    identical-md5 DuckDB oracle; the global-order property itself is
+    pytest-pinned (collect order == key order across partitions)."""
+    docs = _docs(spark, sf_dir)
+    return sampling.epoch_shuffle(docs, "doc_id", epoch=_SHUFFLE_EPOCH,
+                                  salt=_SHUFFLE_SALT) \
+        .select("doc_id", "shuffle_key")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Per-source epoch mixing (sampling.mixture_sample): src0 ×2.5
+    (2 full copies + hash-gated third), src1 ×0.3 (fractional only),
+    src2 ×0 (dropped), everything else ×1.  Join- and shuffle-free;
+    oracle recomputes the identical md5 + floor arithmetic with
+    generate_series."""
+    docs = _docs(spark, sf_dir)
+    return sampling.mixture_sample(docs, "doc_id", "source", _MIX_EPOCHS) \
+        .select("doc_id", "source", "copy")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Exact TF-IDF top-k characteristic terms per doc
+    (textstats.tfidf_top_terms): two word-count groupBys + window top-k;
+    scores rounded to 6 dp and tie-broken by term so both engines rank
+    identically."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
 
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.hash_split):
@@ -747,6 +785,9 @@ PIPELINE_QUERIES = {
     "docs_hash_split": q_hash_split,
     "docs_stratified_sample": q_stratified_sample,
     "docs_pack_offsets": q_pack_offsets,
+    "docs_epoch_shuffle": q_epoch_shuffle,
+    "docs_mixture_sample": q_mixture_sample,
+    "text_tfidf_top_terms": q_tfidf_top_terms,
     "text_repetition_score": q_repetition_score,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
@@ -883,6 +924,59 @@ FROM (SELECT doc_id, lang,
 WHERE h < (CASE {cases} ELSE {1 << 32} END)
 """
 
+
+# identical-arithmetic mirrors (md5 first-8-hex → BIGINT; truncating
+# floor() before the BIGINT cast because DuckDB CAST rounds while Spark's
+# double→long cast truncates)
+_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || 'e{_SHUFFLE_EPOCH}{_SHUFFLE_SALT}'),
+                            1, 8)) AS BIGINT) AS shuffle_key
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+_MIX_CASE = " ".join(f"WHEN source = '{s}' THEN {e!r}"
+                     for s, e in _MIX_EPOCHS.items())
+_MIX_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))
+              AS BIGINT) AS h,
+         CASE {_MIX_CASE} ELSE 1.0 END AS e
+  FROM documents WHERE doc_id IS NOT NULL),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(e) AS BIGINT)
+           + CASE WHEN h < CAST(floor((e - floor(e)) * 4294967296.0)
+                               AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM base)
+SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+FROM n, unnest(generate_series(1, n_copies)) AS u(copy)
+WHERE n_copies >= 1
+"""
+
+_TFIDF_SQL = f"""
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM w2 WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(nd.n_docs / d.df), 6) AS score,
+             row_number() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY round(t.tf * ln(nd.n_docs / d.df), 6) DESC,
+                          t.term ASC) AS rank
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd)
+WHERE rank <= {TFIDF_K}
+"""
 
 _PACK_SQL = f"""
 SELECT doc_id, n_chars,
@@ -1177,6 +1271,9 @@ def pipeline_oracles() -> dict[str, str]:
         "docs_hash_split": _split_sql(),
         "docs_stratified_sample": _stratified_sql(),
         "docs_pack_offsets": _PACK_SQL,
+        "docs_epoch_shuffle": _SHUFFLE_SQL,
+        "docs_mixture_sample": _MIX_SQL,
+        "text_tfidf_top_terms": _TFIDF_SQL,
         "text_repetition_score": _REPETITION_SQL,
         "text_token_count": """
             SELECT doc_id,

@@ -1032,6 +1032,9 @@ _HEAD = [
     "text_repeated_spans",
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
+    "docs_epoch_shuffle",
+    "docs_mixture_sample",
+    "text_tfidf_top_terms",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1047,7 +1050,6 @@ _HEAD = [
     "bloom_cardinality_estimate",
     "text_contamination_check",
     "dedup_minhash_lsh",
-    "dedup_neardup_clusters",
     "events_asof_attribution",
     "hll_distinct_tokens",
     "hll_distinct_per_source",
@@ -1058,8 +1060,6 @@ _HEAD = [
     "kll_grouped_quantiles_per_source",
     "mg_grouped_heavy_hitters_per_source",
     "streaming_windowed_distinct_hll",
-    "streaming_stateful_sources",
-    "bloom_prefilter_join",
     "streaming_late_data_drop",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
@@ -1068,6 +1068,9 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "dedup_neardup_clusters",
+    "streaming_stateful_sources",
+    "bloom_prefilter_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "events_range_join",

@@ -916,3 +916,80 @@ def test_weighted_sample_uncastable_id_fails_loud(spark):
                                "doc_id long, w double, lang string")
     got = weighted_sample_topk(ok, "doc_id", "w", k=5).collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_epoch_shuffle_global_order_and_epoch_variation(spark, docs):
+    from bloom_filter_spark.functions.sampling import epoch_shuffle
+    out = epoch_shuffle(docs, "doc_id", epoch=1, salt="t")
+    rows = out.select("doc_id", "shuffle_key").collect()
+    keys = [(r.shuffle_key, r.doc_id) for r in rows]
+    # collect() concatenates partitions in index order: range partitioning
+    # + local sorts must yield the TOTAL order without a global sort
+    assert keys == sorted(keys)
+    assert len(rows) == docs.count()
+    # determinism across partitionings; new epoch => new permutation
+    again = [ (r.shuffle_key, r.doc_id) for r in
+              epoch_shuffle(docs.repartition(13), "doc_id", 1, salt="t")
+              .select("doc_id", "shuffle_key").collect()]
+    assert again == keys
+    e2 = [r.doc_id for r in epoch_shuffle(docs, "doc_id", 2, salt="t")
+          .select("doc_id").collect()]
+    assert e2 != [d for _, d in keys]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # every Sort in the plan is partition-local (global flag 'true' absent)
+    import re
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+
+
+def test_mixture_sample_multiplicities_match_recompute(spark, docs):
+    import hashlib
+    from bloom_filter_spark.functions.sampling import mixture_sample
+    epochs = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+    out = mixture_sample(docs, "doc_id", "source", epochs).collect()
+    got = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        assert 1 <= r.copy <= got[r.doc_id] or True
+    counts = {}
+    for r in docs.select("doc_id", "source").collect():
+        e = epochs.get(r.source, 1.0)
+        h = int(hashlib.md5(f"{r.doc_id}mix".encode()).hexdigest()[:8], 16)
+        import math
+        n = int(math.floor(e)) + (1 if h < int((e - math.floor(e)) * (1 << 32)) else 0)
+        if n >= 1:
+            counts[r.doc_id] = n
+    assert got == counts
+    # copy indices are exactly 1..n per doc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.copy)
+    for d, cs in per_doc.items():
+        assert sorted(cs) == list(range(1, counts[d] + 1))
+    srcs = {r.source for r in out}
+    assert "src2" not in srcs and "src0" in srcs
+
+
+def test_tfidf_top_terms_matches_recompute(spark):
+    import math
+    from collections import Counter
+    from bloom_filter_spark.functions.textstats import tfidf_top_terms
+    rows = [(1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple elderberry fig fig fig")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    tf = {d: Counter(t.split(" ")) for d, t in rows}
+    dfreq = Counter(w for c in tf.values() for w in c)
+    n = float(len(rows))
+    want = {}
+    for d, c in tf.items():
+        scored = sorted(((round(cnt * math.log(n / dfreq[w]), 6), w)
+                         for w, cnt in c.items()),
+                        key=lambda x: (-x[0], x[1]))[:2]
+        want[d] = [(w, s) for s, w in scored]
+    got = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append((r.term, r.score))
+        assert r.df == dfreq[r.term] and r.tf == tf[r.doc_id][r.term]
+    assert got == want
