@@ -330,6 +330,43 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- streaming
+def _docs_stream_dir(sf_dir: str) -> str:
+    """Split the documents table into 4 deterministic parquet files (row
+    order, pyarrow) for the dedup file-stream."""
+    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
+                       "docs_stream")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        n = t.num_rows
+        bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+        for i in range(4):
+            pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                           os.path.join(out, f"part-{i}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def q_streaming_exact_dedup(spark, sf_dir):
+    """Cross-batch streaming exact dedup
+    (streaming.StreamingDedupAccumulator): a 4-file availableNow document
+    stream folds per-batch content-hash groups with the incremental-dedup
+    monoid — the final table must EQUAL the one-shot batch dedup of all
+    documents, which is the SQL oracle (same oracle as dedup_exact)."""
+    from ..streaming.stream_build import streaming_exact_dedup
+    path = _docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return streaming_exact_dedup(spark, path, schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """Split the events table into 4 deterministic parquet files (by row
     order, pyarrow — no Spark write nondeterminism) so the file-source
@@ -788,6 +825,7 @@ PIPELINE_QUERIES = {
     "docs_epoch_shuffle": q_epoch_shuffle,
     "docs_mixture_sample": q_mixture_sample,
     "text_tfidf_top_terms": q_tfidf_top_terms,
+    "streaming_exact_dedup": q_streaming_exact_dedup,
     "text_repetition_score": q_repetition_score,
     "text_token_count": q_token_count,
     "text_token_count_bpe": q_token_count_bpe,
@@ -1490,5 +1528,6 @@ def pipeline_oracles() -> dict[str, str]:
     # one-shot oracles ARE the incremental queries' oracles — the driver
     # row proves the fold against independent SQL, not just self-consistency
     out["dedup_exact_incremental"] = out["dedup_exact"]
+    out["streaming_exact_dedup"] = out["dedup_exact"]
     out["dedup_minhash_incremental"] = _JACCARD_SQL
     return out

@@ -1035,6 +1035,7 @@ _HEAD = [
     "docs_epoch_shuffle",
     "docs_mixture_sample",
     "text_tfidf_top_terms",
+    "streaming_exact_dedup",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1050,7 +1051,6 @@ _HEAD = [
     "bloom_cardinality_estimate",
     "text_contamination_check",
     "dedup_minhash_lsh",
-    "events_asof_attribution",
     "hll_distinct_tokens",
     "hll_distinct_per_source",
     "kmv_source_intersection",
@@ -1068,6 +1068,7 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "events_asof_attribution",
     "dedup_neardup_clusters",
     "streaming_stateful_sources",
     "bloom_prefilter_join",

@@ -241,3 +241,59 @@ def windowed_event_counts_append(spark: SparkSession, source_dir: str,
     return spark.sql(f"""
         SELECT CAST(w.start AS LONG) AS window_start_epoch, event_type,
                n, sum_value FROM {name}""")
+
+
+class StreamingDedupAccumulator:
+    """Cross-batch EXACT dedup (the ingestion-stream workflow): each
+    micro-batch computes its own content-hash groups with the batch
+    ``exact_dedup`` operator, and the running state folds with the same
+    (count-sum, min-keeper) monoid that powers ``exact_dedup_incremental``
+    — so after ANY prefix of micro-batches, under ANY file split, the
+    state equals the one-shot batch dedup of the rows seen (the
+    streaming ≡ batch property the driver row pins against the one-shot
+    SQL oracle).
+
+    The fold target here is a driver dict (crisp for the equivalence
+    gate); at cluster scale the same per-batch output MERGEs into the
+    persisted dedup table exactly as exact_dedup_incremental does —
+    state size is one row per distinct content either way."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.groups: dict[str, list] = {}  # text_hash -> [n_copies, keep]
+        self.epochs = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..functions.dedup import exact_dedup
+        batch = batch_df.select(F.col(self.id_col).alias("doc_id"),
+                                F.col(self.text_col).alias("text"))
+        for r in exact_dedup(batch).collect():
+            g = self.groups.get(r.text_hash)
+            if g is None:
+                self.groups[r.text_hash] = [int(r.n_copies), r.keep_doc_id]
+            else:
+                g[0] += int(r.n_copies)
+                g[1] = min(g[1], r.keep_doc_id)
+        self.epochs += 1
+
+    def rows(self) -> list[tuple]:
+        return [(h, n, keep) for h, (n, keep) in self.groups.items()]
+
+
+def streaming_exact_dedup(spark: SparkSession, source_dir: str, schema,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """Drive a document file-stream to completion through the dedup fold;
+    → DataFrame(text_hash, n_copies, keep_doc_id) — identical to the batch
+    ``exact_dedup`` of the same rows."""
+    acc = _run_stream_fold(
+        spark, source_dir, schema,
+        StreamingDedupAccumulator(text_col, id_col), max_files_per_trigger)
+    id_type = dict(zip(schema.names, schema)).get(id_col)
+    id_ddl = id_type.dataType.simpleString() if id_type is not None else "long"
+    return spark.createDataFrame(
+        acc.rows(),
+        f"text_hash string, n_copies long, keep_doc_id {id_ddl}")

@@ -161,3 +161,34 @@ def test_streaming_grouped_hll_equals_batch(spark, multi_file_tokens):
         strategy="mapside").collect()}
     got = {g: (acc.n_items[g], b) for g, b in acc.blobs().items()}
     assert got == batch and len(batch) > 1
+
+
+def test_streaming_exact_dedup_equals_batch_any_split(spark, tmp_path):
+    """Streaming dedup fold == one-shot batch exact_dedup under any
+    micro-batch split (the (count-sum, min-keeper) monoid commutes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloom_filter_spark.functions.dedup import exact_dedup
+    from bloom_filter_spark.streaming.stream_build import streaming_exact_dedup
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(3):
+        sl = rows[i * 3:(i + 1) * 3]
+        if sl:
+            pq.write_table(pa.table({"doc_id": [r[0] for r in sl],
+                                     "text": [r[1] for r in sl]}),
+                           str(src / f"p{i}.parquet"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.text_hash, r.n_copies, r.keep_doc_id)
+            for r in exact_dedup(df).collect()}
+    schema = df.schema
+    for mfpt in (1, 2):
+        got = {(r.text_hash, r.n_copies, r.keep_doc_id)
+               for r in streaming_exact_dedup(
+                   spark, str(src), schema,
+                   max_files_per_trigger=mfpt).collect()}
+        assert got == want, mfpt
+    assert len(want) == 4  # alpha x3, beta x2, gamma, delta
