@@ -442,6 +442,45 @@ def q_kmv_source_difference(spark, sf_dir):
         "within_bound boolean")
 
 
+def q_source_overlap_matrix(spark, sf_dir):
+    """Full pairwise source-overlap matrix from per-source KMV states
+    (functions/profiling.py::source_overlap_matrix): ONE grouped build,
+    then all G(G−1)/2 intersection estimates compose driver-side from the
+    states — the corpus is scanned once, no pairwise joins.  Each pair's
+    estimate is checked against the exact distinct-intersection within
+    6·rse·|A∪B| (bloom_membership_fpr pattern: exact part
+    SQL-reproducible, the boolean asserts the sketch bound)."""
+    from ..functions.profiling import source_overlap_matrix
+    from ..sketches import KMVParams
+    toks = _tokens(spark, sf_dir)
+    est = source_overlap_matrix(toks, "source", "tokens", "i32_array",
+                                k=4096)
+    flat = (toks.select("source", F.explode("tokens").alias("t"))
+            .distinct())
+    a = flat.select(F.col("source").alias("source_a"), "t")
+    b = flat.select(F.col("source").alias("source_b"), "t")
+    exact = (a.join(b, "t")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").cast("long").alias("exact_common")))
+    sizes = flat.groupBy("source").agg(F.count("*").alias("nd"))
+    rse = KMVParams(k=4096).rse
+    out = (est.join(exact, (est.group_a == exact.source_a)
+                    & (est.group_b == exact.source_b), "left")
+           .join(sizes.select(F.col("source").alias("group_a"),
+                              F.col("nd").alias("nd_a")), "group_a")
+           .join(sizes.select(F.col("source").alias("group_b"),
+                              F.col("nd").alias("nd_b")), "group_b"))
+    exact_common = F.coalesce("exact_common", F.lit(0))
+    exact_union = F.col("nd_a") + F.col("nd_b") - exact_common
+    ok = (F.abs(F.col("est_common") - exact_common)
+          <= F.lit(6 * rse) * exact_union)
+    return out.select(
+        "group_a", "group_b",
+        exact_common.cast("long").alias("exact_common"),
+        ok.alias("within_bound"))
+
+
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
     path: 45% of rows share one source).  The map-side strategy is proven
@@ -804,6 +843,7 @@ SKETCH_QUERIES = {
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "kmv_source_intersection": q_kmv_source_intersection,
     "kmv_source_difference": q_kmv_source_difference,
+    "kmv_source_overlap_matrix": q_source_overlap_matrix,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -922,6 +962,23 @@ def sketch_oracles() -> dict[str, str]:
                          SELECT t FROM tb)) AS BIGINT) AS exact_diff,
                    TRUE AS within_bound
         """,
+        "kmv_source_overlap_matrix": f"""
+            WITH st AS (SELECT DISTINCT source, unnest(tokens) AS t
+                        FROM {tok}),
+            srcs AS (SELECT DISTINCT source FROM {tok}),
+            pairs AS (SELECT a.source AS group_a, b.source AS group_b
+                      FROM srcs a JOIN srcs b ON a.source < b.source),
+            c AS (SELECT a.source AS ga, b.source AS gb,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM st a JOIN st b
+                    ON a.t = b.t AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT p.group_a, p.group_b,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS exact_common,
+                   TRUE AS within_bound
+            FROM pairs p LEFT JOIN c
+              ON p.group_a = c.ga AND p.group_b = c.gb
+        """,
         "cms_heavy_hitters": f"""
             SELECT token, exact_cnt, TRUE AS cms_ok FROM (
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
@@ -1036,6 +1093,7 @@ _HEAD = [
     "docs_mixture_sample",
     "text_tfidf_top_terms",
     "streaming_exact_dedup",
+    "kmv_source_overlap_matrix",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1056,7 +1114,6 @@ _HEAD = [
     "kmv_source_intersection",
     "kmv_source_difference",
     "cms_heavy_hitters",
-    "tdigest_rank_probe",
     "kll_grouped_quantiles_per_source",
     "mg_grouped_heavy_hitters_per_source",
     "streaming_windowed_distinct_hll",
@@ -1068,6 +1125,7 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "tdigest_rank_probe",
     "events_asof_attribution",
     "dedup_neardup_clusters",
     "streaming_stateful_sources",

@@ -993,3 +993,26 @@ def test_tfidf_top_terms_matches_recompute(spark):
         got.setdefault(r.doc_id, []).append((r.term, r.score))
         assert r.df == dfreq[r.term] and r.tf == tf[r.doc_id][r.term]
     assert got == want
+
+
+def test_source_overlap_matrix_bounds_and_zero_pair(spark):
+    """Constructed groups with known overlaps: estimates within the KMV
+    bound, zero-overlap pairs present with est≈0, Jaccard sane."""
+    from bloom_filter_spark.functions.profiling import source_overlap_matrix
+    rows = []
+    for i in range(3000):
+        rows.append(("a", [i]))                # a = 0..2999
+        rows.append(("b", [i + 1500]))         # b = 1500..4499 (|ab|=1500)
+        rows.append(("c", [i + 100_000]))      # c disjoint from a and b
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {(r.group_a, r.group_b): r for r in
+           source_overlap_matrix(df, "source", "tokens", k=1024).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    rse = 1.0 / (1023 ** 0.5)
+    ab = out[("a", "b")]
+    assert abs(ab.est_common - 1500) <= 6 * rse * 4500
+    assert abs(ab.est_union - 4500) <= 6 * rse * 4500
+    for pair in (("a", "c"), ("b", "c")):
+        r = out[pair]
+        assert abs(r.est_common - 0) <= 6 * rse * 6000
+        assert r.est_jaccard <= 0.05
