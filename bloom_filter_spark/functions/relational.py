@@ -132,3 +132,66 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * F.col("l_discount")), 4).alias("revenue"),
                  F.count("*").alias("n_items")))
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-adapted priority-checking query (this schema ships no
+    commit/receipt dates, so the EXISTS predicate becomes "some line item
+    shipped after the order date"): orders in one quarter, counted per
+    priority, keeping only orders with at least one qualifying lineitem.
+
+    Plan shape: the EXISTS is a LEFT SEMI join — no row multiplication,
+    the lineitem side projects two narrow columns, the date filters sit in
+    PushedFilters on both scans, and AQE picks broadcast when the filtered
+    order slice is small."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1996-04-01")))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate"))
+    kept = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue per nation in one region
+    for one order-year, where the supplying and ordering nations match.
+
+    Plan shape: region→nation is a broadcast dimension chain; the two
+    fact joins (orders, then supplier-with-nation) are equi-joins with the
+    c_nationkey = s_nationkey locality predicate applied as a join filter;
+    rounded revenue + nation tiebreak keep engine ordering deterministic."""
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_nationkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))

@@ -619,6 +619,14 @@ def q_tpch_q6(spark, sf_dir):
     return relational.tpch_q6(spark, sf_dir)
 
 
+def q_tpch_q4(spark, sf_dir):
+    return relational.tpch_q4(spark, sf_dir)
+
+
+def q_tpch_q5(spark, sf_dir):
+    return relational.tpch_q5(spark, sf_dir)
+
+
 def q_top_customer_per_nation(spark, sf_dir):
     return relational.top_customer_per_nation(spark, sf_dir)
 
@@ -840,6 +848,8 @@ PIPELINE_QUERIES = {
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
@@ -1401,6 +1411,31 @@ def pipeline_oracles() -> dict[str, str]:
                 AND l_shipdate > DATE '1995-03-15'
               GROUP BY l_orderkey, o_orderdate)
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q5": """
+            SELECT n.n_name, round(sum(l.l_extendedprice
+                                       * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1997-01-01'
+            GROUP BY n.n_name
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,

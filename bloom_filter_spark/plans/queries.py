@@ -1094,6 +1094,8 @@ _HEAD = [
     "text_tfidf_top_terms",
     "streaming_exact_dedup",
     "kmv_source_overlap_matrix",
+    "tpch_q4",
+    "tpch_q5",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1111,13 +1113,11 @@ _HEAD = [
     "dedup_minhash_lsh",
     "hll_distinct_tokens",
     "hll_distinct_per_source",
-    "kmv_source_intersection",
     "kmv_source_difference",
     "cms_heavy_hitters",
     "kll_grouped_quantiles_per_source",
     "mg_grouped_heavy_hitters_per_source",
     "streaming_windowed_distinct_hll",
-    "streaming_late_data_drop",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
     "weighted_sample_per_source",
@@ -1125,6 +1125,8 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "kmv_source_intersection",
+    "streaming_late_data_drop",
     "tdigest_rank_probe",
     "events_asof_attribution",
     "dedup_neardup_clusters",
