@@ -354,3 +354,27 @@ def mixture_sample(df: DataFrame, id_col: str, source_col: str,
                 F.when(n_copies >= 1,
                        F.sequence(F.lit(1).cast("long"), n_copies))
                 .otherwise(F.array().cast("array<long>")))))
+
+
+def trim_by_group_rank(df: DataFrame, col: str, group_col: str,
+                       lower_q: float = 0.0, upper_q: float = 1.0,
+                       keep_rank: bool = False) -> DataFrame:
+    """Per-group rank-based outlier trimming (the length/quality-score
+    filter of a curation pipeline): keep rows whose ``percent_rank`` of
+    ``col`` WITHIN their group lies in [lower_q, upper_q].
+
+    Rank-based (not value-interpolated) on purpose: percent_rank is exact
+    rational arithmetic — (rank−1)/(n−1), ties share a rank — so the kept
+    set is deterministic, identical across engines, and insensitive to
+    tie order; a quantile-value cut would inherit each engine's
+    interpolation rules.  One hash Exchange on the group + per-group sort;
+    NULL values are dropped (they have no rank).  ``keep_rank`` appends
+    the 6-dp ``pct_rank`` column."""
+    if not (0.0 <= lower_q <= upper_q <= 1.0):
+        raise ValueError("require 0 <= lower_q <= upper_q <= 1")
+    w = Window.partitionBy(group_col).orderBy(F.col(col).asc())
+    out = (df.where(F.col(col).isNotNull())
+           .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+           .where((F.col("pct_rank") >= lower_q)
+                  & (F.col("pct_rank") <= upper_q)))
+    return out if keep_rank else out.drop("pct_rank")

@@ -229,6 +229,17 @@ def q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "copy")
 
 
+def q_trim_by_group_rank(spark, sf_dir):
+    """Per-source rank-based length trimming (sampling.trim_by_group_rank):
+    keep docs whose n_chars percent_rank within their source lies in
+    [0.05, 0.95] — exact rational rank arithmetic, tie-insensitive, so
+    DuckDB's percent_rank reproduces the kept set bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    return sampling.trim_by_group_rank(
+        docs, "n_chars", "source", lower_q=0.05, upper_q=0.95,
+        keep_rank=True).select("doc_id", "source", "n_chars", "pct_rank")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Exact TF-IDF top-k characteristic terms per doc
     (textstats.tfidf_top_terms): two word-count groupBys + window top-k;
@@ -833,6 +844,7 @@ PIPELINE_QUERIES = {
     "docs_epoch_shuffle": q_epoch_shuffle,
     "docs_mixture_sample": q_mixture_sample,
     "text_tfidf_top_terms": q_tfidf_top_terms,
+    "docs_trim_by_group_rank": q_trim_by_group_rank,
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "text_repetition_score": q_repetition_score,
     "text_token_count": q_token_count,
@@ -1322,6 +1334,15 @@ def pipeline_oracles() -> dict[str, str]:
         "docs_epoch_shuffle": _SHUFFLE_SQL,
         "docs_mixture_sample": _MIX_SQL,
         "text_tfidf_top_terms": _TFIDF_SQL,
+        "docs_trim_by_group_rank": """
+            SELECT doc_id, source, n_chars, pct_rank
+            FROM (SELECT doc_id, source, n_chars,
+                         round(percent_rank() OVER (PARTITION BY source
+                                                    ORDER BY n_chars ASC),
+                               6) AS pct_rank
+                  FROM documents WHERE n_chars IS NOT NULL)
+            WHERE pct_rank >= 0.05 AND pct_rank <= 0.95
+        """,
         "text_repetition_score": _REPETITION_SQL,
         "text_token_count": """
             SELECT doc_id,

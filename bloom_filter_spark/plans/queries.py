@@ -1096,6 +1096,7 @@ _HEAD = [
     "kmv_source_overlap_matrix",
     "tpch_q4",
     "tpch_q5",
+    "docs_trim_by_group_rank",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1111,7 +1112,6 @@ _HEAD = [
     "bloom_cardinality_estimate",
     "text_contamination_check",
     "dedup_minhash_lsh",
-    "hll_distinct_tokens",
     "hll_distinct_per_source",
     "kmv_source_difference",
     "cms_heavy_hitters",
@@ -1125,6 +1125,7 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "hll_distinct_tokens",
     "kmv_source_intersection",
     "streaming_late_data_drop",
     "tdigest_rank_probe",

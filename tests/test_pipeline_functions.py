@@ -1016,3 +1016,22 @@ def test_source_overlap_matrix_bounds_and_zero_pair(spark):
         r = out[pair]
         assert abs(r.est_common - 0) <= 6 * rse * 6000
         assert r.est_jaccard <= 0.05
+
+
+def test_trim_by_group_rank_exact_semantics(spark):
+    from bloom_filter_spark.functions.sampling import trim_by_group_rank
+    rows = ([("g", v) for v in [10, 20, 20, 30, 40, 50, 60, 70, 80, 1000]]
+            + [("h", 5), ("h", None), ("solo", 7)])
+    df = spark.createDataFrame(rows, "src string, v int")
+    kept = trim_by_group_rank(df, "v", "src", lower_q=0.0, upper_q=0.9,
+                              keep_rank=True).collect()
+    g = sorted(r.v for r in kept if r.src == "g")
+    assert 1000 not in g and g[0] == 10          # top outlier trimmed
+    assert len(g) == 9                            # pct_rank 1.0 only drop
+    # ties share a rank: both 20s kept together
+    assert g.count(20) == 2
+    # singleton group has percent_rank 0 → kept; NULLs dropped
+    assert [r.v for r in kept if r.src == "solo"] == [7]
+    assert [r.v for r in kept if r.src == "h"] == [5]
+    with pytest.raises(ValueError):
+        trim_by_group_rank(df, "v", "src", lower_q=0.5, upper_q=0.2)
