@@ -195,3 +195,46 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount"))), 4)
                   .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+def funnel_conversion(events: DataFrame, user_col: str, type_col: str,
+                      ts_col: str, steps: list[str],
+                      within: int | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users completed the steps IN ORDER — step i must occur strictly after
+    the user's (earliest-completion) match of step i−1, and, with
+    ``within``, no later than ``first_step_ts + within`` (same units as
+    ``ts_col``, which must be numeric).
+
+    Spark-first realization — k per-step aggregations chained by
+    equi-joins on the user, NOT a per-user sequence scan: step 1 is
+    min(ts) per user; step i is min(ts) over rows of type i joined to the
+    step-(i−1) table with ts > prev_ts (earliest-completion greedy —
+    matching each step as early as possible is optimal, so a user passes
+    the funnel iff the greedy chain completes).  Every join key is the
+    user id; per-step tables shrink monotonically; nothing is quadratic
+    and event payloads never move.  → (step_idx, step, n_users,
+    conversion 6-dp, vs step-1 users)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"),
+                       F.col(ts_col).alias("ts"))
+    cur = (ev.where(F.col("t") == steps[0])
+           .groupBy("u").agg(F.min("ts").alias("ts"))
+           .withColumn("t0", F.col("ts")))
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (ev.where(F.col("t") == step)
+               .join(cur.select("u", F.col("ts").alias("prev"), "t0"), "u")
+               .where(F.col("ts") > F.col("prev")))
+        if within is not None:
+            nxt = nxt.where(F.col("ts") <= F.col("t0") + F.lit(within))
+        cur = (nxt.groupBy("u", "t0").agg(F.min("ts").alias("ts"))
+               .select("u", "ts", "t0"))
+        counts.append(cur.count())
+    base = max(counts[0], 1)
+    rows = [(i + 1, s, int(c), round(c / base, 6))
+            for i, (s, c) in enumerate(zip(steps, counts))]
+    return events.sparkSession.createDataFrame(
+        rows, "step_idx long, step string, n_users long, conversion double")

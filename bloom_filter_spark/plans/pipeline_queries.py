@@ -630,6 +630,21 @@ def q_tpch_q6(spark, sf_dir):
     return relational.tpch_q6(spark, sf_dir)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view→click→purchase
+    (relational.funnel_conversion): per-step aggregations chained by
+    user-keyed equi-joins with strictly-increasing timestamps; the oracle
+    reproduces the identical min-chain in SQL."""
+    from ..functions.relational import funnel_conversion
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    return funnel_conversion(ev, "user_id", "event_type", "ts_us",
+                             FUNNEL_STEPS)
+
+
 def q_tpch_q4(spark, sf_dir):
     return relational.tpch_q4(spark, sf_dir)
 
@@ -859,6 +874,7 @@ PIPELINE_QUERIES = {
     "streaming_late_data_drop": q_streaming_late_data_drop,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
+    "events_funnel_conversion": q_funnel_conversion,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -1432,6 +1448,31 @@ def pipeline_oracles() -> dict[str, str]:
                 AND l_shipdate > DATE '1995-03-15'
               GROUP BY l_orderkey, o_orderdate)
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "events_funnel_conversion": """
+            WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS ts
+                        FROM events WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS ts
+                   FROM events e JOIN s1 ON e.user_id = s1.u
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS ts
+                   FROM events e JOIN s2 ON e.user_id = s2.u
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > s2.ts
+                   GROUP BY 1),
+            c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                         (SELECT count(*) FROM s2) AS c2,
+                         (SELECT count(*) FROM s3) AS c3)
+            SELECT 1 AS step_idx, 'view' AS step,
+                   CAST(c1 AS BIGINT) AS n_users,
+                   round(c1 / greatest(c1, 1), 6) AS conversion FROM c
+            UNION ALL
+            SELECT 2, 'click', CAST(c2 AS BIGINT),
+                   round(c2 / greatest(c1, 1), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+                   round(c3 / greatest(c1, 1), 6) FROM c
         """,
         "tpch_q4": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

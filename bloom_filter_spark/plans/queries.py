@@ -1097,6 +1097,7 @@ _HEAD = [
     "tpch_q4",
     "tpch_q5",
     "docs_trim_by_group_rank",
+    "events_funnel_conversion",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1104,7 +1105,6 @@ _HEAD = [
     # distributed-eval route, minhash band-state refactor
     "bloom_membership_present",
     "blocked_bloom_xxh3_doc_membership",
-    "cuckoo_delete_probe",
     "cbloom_delete_probe",
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
@@ -1125,6 +1125,7 @@ _HEAD = [
 _TAIL = [
     # r4-green, code untouched in r5 — absorb the >50 truncation and
     # rotate into the head in r6 under rule (a)
+    "cuckoo_delete_probe",
     "hll_distinct_tokens",
     "kmv_source_intersection",
     "streaming_late_data_drop",

@@ -1035,3 +1035,28 @@ def test_trim_by_group_rank_exact_semantics(spark):
     assert [r.v for r in kept if r.src == "h"] == [5]
     with pytest.raises(ValueError):
         trim_by_group_rank(df, "v", "src", lower_q=0.5, upper_q=0.2)
+
+
+def test_funnel_conversion_ordering_and_window(spark):
+    from bloom_filter_spark.functions.relational import funnel_conversion
+    rows = [
+        # u1 completes A->B->C in order
+        (1, "A", 10), (1, "B", 20), (1, "C", 30),
+        # u2 has all three but B precedes A => stops after A
+        (2, "B", 5), (2, "A", 10), (2, "C", 4),
+        # u3 completes but C only outside the within window
+        (3, "A", 0), (3, "B", 50), (3, "C", 500),
+        # u4 never does A
+        (4, "B", 1), (4, "C", 2),
+        # u5: equal timestamps do NOT chain (strict >)
+        (5, "A", 7), (5, "B", 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string, ts long")
+    got = {r.step: (r.n_users, r.conversion) for r in funnel_conversion(
+        df, "user_id", "t", "ts", ["A", "B", "C"]).collect()}
+    assert got["A"] == (4, 1.0)       # u1,u2,u3,u5
+    assert got["B"] == (2, 0.5)       # u1,u3 (u5 tie excluded)
+    assert got["C"] == (2, 0.5)       # u1,u3
+    win = {r.step: r.n_users for r in funnel_conversion(
+        df, "user_id", "t", "ts", ["A", "B", "C"], within=100).collect()}
+    assert win["C"] == 1              # u3's C at 500 > 0+100
