@@ -217,13 +217,17 @@ def funnel_conversion(events: DataFrame, user_col: str, type_col: str,
     conversion 6-dp, vs step-1 users)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from decimal import ROUND_HALF_UP, Decimal
+
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(type_col).alias("t"),
                        F.col(ts_col).alias("ts"))
     cur = (ev.where(F.col("t") == steps[0])
            .groupBy("u").agg(F.min("ts").alias("ts"))
-           .withColumn("t0", F.col("ts")))
+           .withColumn("t0", F.col("ts"))
+           .persist())  # each count would otherwise replay the whole chain
     counts = [cur.count()]
+    persisted = [cur]
     for step in steps[1:]:
         nxt = (ev.where(F.col("t") == step)
                .join(cur.select("u", F.col("ts").alias("prev"), "t0"), "u")
@@ -231,10 +235,21 @@ def funnel_conversion(events: DataFrame, user_col: str, type_col: str,
         if within is not None:
             nxt = nxt.where(F.col("ts") <= F.col("t0") + F.lit(within))
         cur = (nxt.groupBy("u", "t0").agg(F.min("ts").alias("ts"))
-               .select("u", "ts", "t0"))
+               .select("u", "ts", "t0")
+               .persist())
         counts.append(cur.count())
+        persisted.append(cur)
+    for df_ in persisted:
+        df_.unpersist()
     base = max(counts[0], 1)
-    rows = [(i + 1, s, int(c), round(c / base, 6))
+
+    def _round6(x: float) -> float:
+        # HALF_UP like F.round / DuckDB round — Python's round() is
+        # half-even and diverges on exact ties (e.g. 5/128)
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    rows = [(i + 1, s, int(c), _round6(c / base))
             for i, (s, c) in enumerate(zip(steps, counts))]
     return events.sparkSession.createDataFrame(
         rows, "step_idx long, step string, n_users long, conversion double")

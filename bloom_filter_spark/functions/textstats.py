@@ -158,6 +158,10 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     arithmetic is exact and engine-independent (ln + 6-dp round), so the
     DuckDB oracle reproduces scores bit-for-bit; ties rank by term ASC so
     both engines agree."""
+    # NULL doc_ids are dropped up front: they are not documents (and
+    # COUNT(DISTINCT doc_id) excludes them in every SQL engine — counting
+    # them in N would shift every idf)
+    df = df.where(F.col("doc_id").isNotNull())
     words = (df.select("doc_id",
                        F.explode(F.split(F.col(text_col), " ")).alias("term"))
              .where(F.col("term") != ""))

@@ -341,17 +341,20 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- streaming
-def _docs_stream_dir(sf_dir: str) -> str:
-    """Split the documents table into 4 deterministic parquet files (row
-    order, pyarrow) for the dedup file-stream."""
+def _split_table_stream_dir(sf_dir: str, table_file: str,
+                            subdir: str) -> str:
+    """Split one testdata table into 4 deterministic parquet files (row
+    order, pyarrow — no Spark write nondeterminism) so a file-source
+    stream runs 4 micro-batches with maxFilesPerTrigger=1.  Shared by the
+    events and documents stream fixtures."""
     from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
     out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
-                       "docs_stream")
+                       subdir)
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
         import pyarrow.parquet as pq
         os.makedirs(out, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        t = pq.read_table(f"{sf_dir}/{table_file}")
         n = t.num_rows
         bounds = [0, n // 4, n // 2, 3 * n // 4, n]
         for i in range(4):
@@ -359,6 +362,11 @@ def _docs_stream_dir(sf_dir: str) -> str:
                            os.path.join(out, f"part-{i}.parquet"))
         open(marker, "w").close()
     return out
+
+
+def _docs_stream_dir(sf_dir: str) -> str:
+    return _split_table_stream_dir(sf_dir, "documents.parquet",
+                                   "docs_stream")
 
 
 def q_streaming_exact_dedup(spark, sf_dir):
@@ -379,24 +387,8 @@ def q_streaming_exact_dedup(spark, sf_dir):
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """Split the events table into 4 deterministic parquet files (by row
-    order, pyarrow — no Spark write nondeterminism) so the file-source
-    stream runs 4 micro-batches with maxFilesPerTrigger=1."""
-    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
-    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
-                       "events_stream")
-    marker = os.path.join(out, "_complete")
-    if not os.path.exists(marker):
-        import pyarrow.parquet as pq
-        os.makedirs(out, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/events.parquet")
-        n = t.num_rows
-        bounds = [0, n // 4, n // 2, 3 * n // 4, n]
-        for i in range(4):
-            pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-                           os.path.join(out, f"part-{i}.parquet"))
-        open(marker, "w").close()
-    return out
+    return _split_table_stream_dir(sf_dir, "events.parquet",
+                                   "events_stream")
 
 
 def q_streaming_windowed_counts(spark, sf_dir):
@@ -1035,14 +1027,15 @@ WHERE n_copies >= 1
 
 _TFIDF_SQL = f"""
 WITH w2 AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
 ), tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM w2 WHERE term <> '' GROUP BY doc_id, term
 ), dfreq AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
 ), nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
-          FROM documents)
+          FROM documents WHERE doc_id IS NOT NULL)
 SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
 FROM (SELECT t.doc_id, t.term, t.tf, d.df,
              round(t.tf * ln(nd.n_docs / d.df), 6) AS score,

@@ -1116,15 +1116,18 @@ _HEAD = [
     "kmv_source_difference",
     "cms_heavy_hitters",
     "kll_grouped_quantiles_per_source",
-    "mg_grouped_heavy_hitters_per_source",
     "streaming_windowed_distinct_hll",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
     "weighted_sample_per_source",
+    # bloom over i64 keys — the bit-staging density route changed in r5
+    "bloom_prefilter_join",
 ]
 _TAIL = [
-    # r4-green, code untouched in r5 — absorb the >50 truncation and
-    # rotate into the head in r6 under rule (a)
+    # r4-green rows where r5 left the code (or the executed plan)
+    # untouched — they absorb the >50 truncation and rotate into the
+    # head in r6 under rule (a)
+    "mg_grouped_heavy_hitters_per_source",
     "cuckoo_delete_probe",
     "hll_distinct_tokens",
     "kmv_source_intersection",
@@ -1133,7 +1136,6 @@ _TAIL = [
     "events_asof_attribution",
     "dedup_neardup_clusters",
     "streaming_stateful_sources",
-    "bloom_prefilter_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "events_range_join",

@@ -276,7 +276,12 @@ class StreamingDedupAccumulator:
                 self.groups[r.text_hash] = [int(r.n_copies), r.keep_doc_id]
             else:
                 g[0] += int(r.n_copies)
-                g[1] = min(g[1], r.keep_doc_id)
+                # null-safe like Spark's F.min (an all-NULL-id group has
+                # keep_doc_id None; Python min(None, x) raises)
+                if g[1] is None:
+                    g[1] = r.keep_doc_id
+                elif r.keep_doc_id is not None:
+                    g[1] = min(g[1], r.keep_doc_id)
         self.epochs += 1
 
     def rows(self) -> list[tuple]:

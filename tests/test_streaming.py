@@ -192,3 +192,23 @@ def test_streaming_exact_dedup_equals_batch_any_split(spark, tmp_path):
                    max_files_per_trigger=mfpt).collect()}
         assert got == want, mfpt
     assert len(want) == 4  # alpha x3, beta x2, gamma, delta
+
+
+def test_streaming_exact_dedup_null_ids(spark, tmp_path):
+    """All-NULL-id duplicate content across micro-batches must fold
+    null-safely (Spark F.min skips nulls; the accumulator must too)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloom_filter_spark.streaming.stream_build import streaming_exact_dedup
+    src = tmp_path / "nulldocs"
+    src.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([None, 7], pa.int64()),
+                             "text": ["same", "same"]}),
+                   str(src / "p0.parquet"))
+    pq.write_table(pa.table({"doc_id": pa.array([None], pa.int64()),
+                             "text": ["same"]}),
+                   str(src / "p1.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    got = streaming_exact_dedup(spark, str(src), schema).collect()
+    assert len(got) == 1 and got[0].n_copies == 3 and got[0].keep_doc_id == 7
