@@ -113,11 +113,19 @@ def _bound_state_volume(sel: DataFrame, sketch) -> DataFrame:
     from .merge import AUTO_TREE_THRESHOLD_BYTES, state_size_estimate
     sz = state_size_estimate(sketch)
     p = sel.rdd.getNumPartitions()
-    if p * sz > 2 * AUTO_TREE_THRESHOLD_BYTES:
+    if p * sz > AUTO_TREE_THRESHOLD_BYTES:
         sc = sel.sparkSession.sparkContext
         task_cpus = int(sc.getConf().get("spark.task.cpus", "1") or "1")
         slots = max(1, sc.defaultParallelism // task_cpus)
-        target = max(slots, int(AUTO_TREE_THRESHOLD_BYTES // max(1, sz)))
+        # above 2× the budget: shrink toward the byte budget (never below
+        # the cluster's task slots).  Between 1× and 2×: partitions beyond
+        # the slot count are pure merge overhead — extra waves of the same
+        # scan CPU, each shipping another |state| — so trim to the slots
+        # (full CPU parallelism, minimum state volume).
+        if p * sz > 2 * AUTO_TREE_THRESHOLD_BYTES:
+            target = max(slots, int(AUTO_TREE_THRESHOLD_BYTES // max(1, sz)))
+        else:
+            target = slots
         if target < p:
             return sel.coalesce(target)
     return sel

@@ -55,6 +55,18 @@ def main() -> None:
                 docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}).count(),
             "pack_offsets": lambda: sampling.pack_offsets(
                 docs, "doc_id", "n_chars", 2048).count(),
+            "epoch_shuffle": lambda: sampling.epoch_shuffle(
+                docs, "doc_id", epoch=1).count(),
+            "mixture_sample": lambda: sampling.mixture_sample(
+                docs, "doc_id", "source",
+                {"src0": 2.5, "src1": 0.3, "src2": 0.0}).count(),
+            "trim_by_group_rank": lambda: sampling.trim_by_group_rank(
+                docs, "n_chars", "source", 0.05, 0.95).count(),
+            "tfidf_top_terms": lambda: textstats.tfidf_top_terms(
+                docs, k=5).count(),
+            "exact_dedup_incremental": lambda: dedup.exact_dedup_incremental(
+                dedup.exact_dedup(docs.where(F.col("doc_id") % 2 == 0)),
+                docs.where(F.col("doc_id") % 2 == 1)).count(),
         }
 
     out = {"cpus": cpus, "scales": {}, "retention": {}}
