@@ -713,3 +713,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 7,
     return (cand.withColumn("hamming", hamming.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def apply_keep_policy(docs: DataFrame, clusters: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep-one dedup ENFORCEMENT — the step after detection: given
+    ``near_dup_clusters`` output (doc_id, cluster_id = min id in the
+    component), drop every clustered doc except its representative
+    (doc_id == cluster_id); unclustered docs pass through untouched.
+
+    Scale shape: the drop set is the near-dup sliver (clustered non-
+    representatives only) and the filter is one LEFT ANTI equi-join AQE
+    broadcasts when the sliver is small — the corpus is scanned once and
+    never shuffled on content."""
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    return docs.join(drop, id_col, "left_anti")

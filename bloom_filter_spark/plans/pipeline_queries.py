@@ -76,6 +76,18 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
 
 
+def q_apply_keep_policy(spark, sf_dir):
+    """Dedup ENFORCEMENT (dedup.apply_keep_policy): the corpus that
+    survives keep-one dedup over the minhash near-dup clusters — cluster
+    representatives (min id) plus all unclustered docs, via one LEFT ANTI
+    join against the non-representative sliver.  Oracle: documents minus
+    the recursive-CTE clusters' non-representatives."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=JACCARD_TAU)
+    kept = dedup.apply_keep_policy(docs, dedup.near_dup_clusters(pairs))
+    return kept.select("doc_id", "source")
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Connected components over the minhash-LSH near-dup graph via
     distributed min-label propagation — the keep-one dedup policy's cluster
@@ -835,6 +847,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_incremental": q_minhash_incremental,
     "dedup_simhash": q_simhash,
     "dedup_neardup_clusters": q_neardup_clusters,
+    "dedup_apply_keep_policy": q_apply_keep_policy,
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_cosine_neardup": q_cosine_neardup,
     "embedding_lsh_topk": q_lsh_topk,
@@ -1316,6 +1329,26 @@ def pipeline_oracles() -> dict[str, str]:
             )
             SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "dedup_apply_keep_policy": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            clusters AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
         """,
         # minhash recall at τ=0.5 is exact here: bands=64 × rows=2 ⇒
         # P(miss | j≥0.5) ≤ (1-0.25)^64 < 1e-8, and the candidate set is

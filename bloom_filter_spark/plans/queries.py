@@ -1098,12 +1098,12 @@ _HEAD = [
     "tpch_q5",
     "docs_trim_by_group_rank",
     "events_funnel_conversion",
+    "dedup_apply_keep_policy",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
     # checkpoint est_rows, sliced as-of null guard, contamination
     # distributed-eval route, minhash band-state refactor
-    "bloom_membership_present",
     "blocked_bloom_xxh3_doc_membership",
     "cbloom_delete_probe",
     "streaming_cbloom_retractions",
@@ -1126,7 +1126,10 @@ _HEAD = [
 _TAIL = [
     # r4-green rows where r5 left the code (or the executed plan)
     # untouched — they absorb the >50 truncation and rotate into the
-    # head in r6 under rule (a)
+    # head in r6 under rule (a).  (bloom_membership_present probes i32
+    # tokens through code r5 changed but six sibling head rows cover the
+    # same build+probe path, so it absorbs the overflow.)
+    "bloom_membership_present",
     "mg_grouped_heavy_hitters_per_source",
     "cuckoo_delete_probe",
     "hll_distinct_tokens",

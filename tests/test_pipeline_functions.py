@@ -1059,3 +1059,15 @@ def test_funnel_conversion_ordering_and_window(spark):
     win = {r.step: r.n_users for r in funnel_conversion(
         df, "user_id", "t", "ts", ["A", "B", "C"], within=100).collect()}
     assert win["C"] == 1              # u3's C at 500 > 0+100
+
+
+def test_apply_keep_policy(spark):
+    from bloom_filter_spark.functions.dedup import apply_keep_policy
+    docs = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(6)], "doc_id long, source string")
+    clusters = spark.createDataFrame(
+        [(0, 0), (3, 0), (5, 0), (2, 2)], "doc_id long, cluster_id long")
+    kept = sorted(r.doc_id for r in apply_keep_policy(docs, clusters).collect())
+    # 3 and 5 drop (clustered, non-representative); 0 and 2 are reps;
+    # 1 and 4 unclustered
+    assert kept == [0, 1, 2, 4]
