@@ -182,6 +182,47 @@ def main() -> None:
         "BroadcastNestedLoopJoin); the exact BETWEEN filter runs on "
         "candidates only.")
 
+    add("Deterministic epoch shuffle",
+        sampling.epoch_shuffle(docs, "doc_id", epoch=1),
+        "ONE range Exchange on the md5 shuffle key + partition-LOCAL sorts "
+        "(`Sort ..., false`): a global permutation without a global sort — "
+        "reading partitions in index order yields the total order.")
+
+    add("Per-group rank trimming",
+        sampling.trim_by_group_rank(docs, "n_chars", "source", 0.05, 0.95),
+        "One hash Exchange on the group + per-group sort + Window "
+        "percent_rank; the filter runs on the rank column — exact rational "
+        "arithmetic, no value interpolation, no second shuffle.")
+
+    add("Data-mixture sampling (epoch factors)",
+        sampling.mixture_sample(docs, "doc_id", "source",
+                                {"src0": 2.5, "src1": 0.3}),
+        "Project + row-local Generate (explode of the per-row copy "
+        "sequence) — join-free and shuffle-free; the multiplicity is a "
+        "pure function of (id, source).")
+
+    from bloom_filter_spark.functions.relational import tpch_q4, tpch_q5
+    add("TPC-H Q4-style EXISTS (priority check)",
+        tpch_q4(spark, "/root/testdata/sf0.1"),
+        "The EXISTS is a LEFT SEMI join (no row multiplication); both date "
+        "predicates sit in PushedFilters; AQE may broadcast the filtered "
+        "quarter of orders.")
+
+    add("TPC-H Q5 (local-supplier volume)",
+        tpch_q5(spark, "/root/testdata/sf0.1"),
+        "region→nation→supplier is a broadcast dimension chain; the "
+        "nation-locality predicate (c_nationkey = s_nationkey) rides the "
+        "supplier join as an extra equi-key — never a post-join filter "
+        "over a wider product.")
+
+    add("Keep-one dedup enforcement (anti-join)",
+        dedup.apply_keep_policy(
+            docs, spark.createDataFrame([(0, 0)],
+                                        "doc_id long, cluster_id long")),
+        "One LEFT ANTI equi-join against the clustered-non-representative "
+        "sliver (broadcastable); the corpus is scanned once and never "
+        "shuffled on content.")
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     with open(out, "w") as f:
