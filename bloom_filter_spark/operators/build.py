@@ -117,17 +117,13 @@ def _bound_state_volume(sel: DataFrame, sketch) -> DataFrame:
         sc = sel.sparkSession.sparkContext
         task_cpus = int(sc.getConf().get("spark.task.cpus", "1") or "1")
         slots = max(1, sc.defaultParallelism // task_cpus)
-        # above 2× the budget: shrink toward the byte budget (never below
-        # the cluster's task slots).  Between 1× and 2×: partitions beyond
-        # the slot count are pure merge overhead — extra waves of the same
-        # scan CPU, each shipping another |state| — so trim to the slots
-        # (full CPU parallelism, minimum state volume).
-        if p * sz > 2 * AUTO_TREE_THRESHOLD_BYTES:
-            target = max(slots, int(AUTO_TREE_THRESHOLD_BYTES // max(1, sz)))
-        else:
-            target = slots
-        if target < p:
-            return sel.coalesce(target)
+        # ONE monotone rule: partitions beyond the cluster's task slots are
+        # pure merge overhead — extra waves of the same scan CPU, each
+        # shipping another |state| — so once the state volume exceeds the
+        # budget, trim to the slots (full CPU parallelism, minimum merge
+        # bytes).  Never below the slots: scan parallelism is sacred.
+        if slots < p:
+            return sel.coalesce(slots)
     return sel
 
 

@@ -1303,35 +1303,9 @@ def _curation_sql() -> str:
     """
 
 
-def pipeline_oracles() -> dict[str, str]:
-    out = {
-        "text_langid": _langid_sql(),
-        "curation_pipeline": _curation_sql(),
-        "dedup_exact": """
-            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
-                   min(doc_id) AS keep_doc_id
-            FROM documents GROUP BY md5(text)
-        """,
-        "dedup_ngram_jaccard": _JACCARD_SQL,
-        # connected components: transitive closure over the exact pair set
-        # (tiny near-dup graph), cluster = min(node, reachable nodes)
-        "dedup_neardup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
-            edges AS (
-              SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION
-              SELECT doc_b AS a, doc_a AS b FROM pairs
-            ),
-            reach(src, dst) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-            )
-            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-            FROM reach GROUP BY src
-        """,
-        "dedup_apply_keep_policy": f"""
-            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+# shared transitive-closure base for the two cluster-consuming oracles —
+# one definition so a closure-SQL fix cannot silently diverge between them
+_CLUSTERS_CTE = f"""WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             edges AS (
               SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION
@@ -1345,7 +1319,27 @@ def pipeline_oracles() -> dict[str, str]:
             clusters AS (
               SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
               FROM reach GROUP BY src
-            )
+            )"""
+
+
+def pipeline_oracles() -> dict[str, str]:
+    out = {
+        "text_langid": _langid_sql(),
+        "curation_pipeline": _curation_sql(),
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        # connected components: transitive closure over the exact pair set
+        # (tiny near-dup graph), cluster = min(node, reachable nodes)
+        "dedup_neardup_clusters": f"""
+            {_CLUSTERS_CTE}
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "dedup_apply_keep_policy": f"""
+            {_CLUSTERS_CTE}
             SELECT d.doc_id, d.source
             FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id

@@ -1060,6 +1060,9 @@ _ALL_QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
 #          (c) queries whose code changed this round;
 #   tail — rows green LAST round with code untouched this round absorb the
 #          >50 truncation (they rotate into the head next round under (a)).
+#   When (a)+(b)+(c) exceed 50, (c) rows may overflow into the tail ONLY
+#   if a head sibling exercises the same changed code path end-to-end;
+#   each such demotion is annotated with its covering sibling below.
 _HEAD = [
     # (a) r3-green tail rows, skipped by design in r4 — two rounds stale,
     # rotated to the front (VERDICT r4 #1)
@@ -1126,9 +1129,14 @@ _HEAD = [
 _TAIL = [
     # r4-green rows where r5 left the code (or the executed plan)
     # untouched — they absorb the >50 truncation and rotate into the
-    # head in r6 under rule (a).  (bloom_membership_present probes i32
-    # tokens through code r5 changed but six sibling head rows cover the
-    # same build+probe path, so it absorbs the overflow.)
+    # head in r6 under rule (a).  Rule-(c) overflow demotions, each with
+    # its covering head sibling:
+    #   bloom_membership_present   ← bloom_membership_fpr (same blob,
+    #                                 same i32 probe UDF path)
+    #   mg_grouped_heavy_hitters_per_source ← kll_grouped_quantiles_per_
+    #                                 source (same grouped build phases)
+    #   cuckoo_delete_probe        ← cuckoo_doc_membership (same grouped
+    #                                 single-writer states + metro path)
     "bloom_membership_present",
     "mg_grouped_heavy_hitters_per_source",
     "cuckoo_delete_probe",

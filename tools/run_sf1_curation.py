@@ -37,7 +37,7 @@ def main() -> None:
     spark = get_spark("sf1-curation", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
 
-    def ops(docs):
+    def ops(docs, scratch=None):
         return {
             "contamination_check": lambda: dedup.contamination_check(
                 docs.where(F.col("doc_id") % 10 != 0),
@@ -55,11 +55,17 @@ def main() -> None:
                 docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}).count(),
             "pack_offsets": lambda: sampling.pack_offsets(
                 docs, "doc_id", "n_chars", 2048).count(),
+            # write action: a bare count() lets EliminateSorts drop the
+            # partition-local sort that IS the shuffle's dominant cost
             "epoch_shuffle": lambda: sampling.epoch_shuffle(
-                docs, "doc_id", epoch=1).count(),
+                docs, "doc_id", epoch=1).write.mode("overwrite")
+                .parquet(os.path.join(scratch, "epoch_shuffle")),
+            # fixture twins use src_00..src_07 (fixtures.py SOURCES), NOT
+            # the driver testdata's src0..src19 — keys must match or the
+            # bench exercises only the default x1 identity path
             "mixture_sample": lambda: sampling.mixture_sample(
                 docs, "doc_id", "source",
-                {"src0": 2.5, "src1": 0.3, "src2": 0.0}).count(),
+                {"src_00": 2.5, "src_01": 0.3, "src_02": 0.0}).count(),
             "trim_by_group_rank": lambda: sampling.trim_by_group_rank(
                 docs, "n_chars", "source", 0.05, 0.95).count(),
             "tfidf_top_terms": lambda: textstats.tfidf_top_terms(
@@ -69,6 +75,8 @@ def main() -> None:
                 docs.where(F.col("doc_id") % 2 == 1)).count(),
         }
 
+    import tempfile
+    scratch = tempfile.mkdtemp(prefix="sf1cur_")
     out = {"cpus": cpus, "scales": {}, "retention": {}}
     counts = {}
     for sf in ("sf0.1", "sf1"):
@@ -77,7 +85,7 @@ def main() -> None:
         n_docs = docs.count()  # warms the scan
         counts[sf] = n_docs
         times = {}
-        for name, fn in ops(docs).items():
+        for name, fn in ops(docs, scratch).items():
             best = None
             for _ in range(2):  # best-of-2 per the bench policy
                 t0 = time.time()
