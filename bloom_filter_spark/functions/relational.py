@@ -253,3 +253,55 @@ def funnel_conversion(events: DataFrame, user_col: str, type_col: str,
             for i, (s, c) in enumerate(zip(steps, counts))]
     return events.sparkSession.createDataFrame(
         rows, "step_idx long, step string, n_users long, conversion double")
+
+
+def lineitem_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (l_returnflag, l_linestatus): subtotal rows
+    per flag and a grand total alongside the leaf groups — one pass, one
+    shuffle (Catalyst expands the grouping sets into a single Expand +
+    hash aggregate, not one job per level).  ``grouping_id`` disambiguates
+    NULL-as-subtotal from NULL data for the oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                 F.grouping_id().cast("long").alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("(all)"))
+                    .alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("(all)"))
+                    .alias("l_linestatus"),
+                    "n_items", "sum_price", "gid"))
+
+
+def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + 3-event moving-average spend per user over purchase
+    events — the canonical running-frame window pair on ONE hash Exchange
+    (both frames share the (user, ts) sort).  Ties resolve by event_id so
+    the running values are deterministic across engines."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                  "value"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "event_id"))
+    return ev.select(
+        "user_id", "event_id", "ts_us",
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+         .alias("cum_spend"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4)
+         .alias("ma3_spend"))
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count pivot (wide feature table): one groupBy
+    with the pivot domain PINNED (no extra distinct-scan job) — Catalyst
+    plans it as a single hash aggregate with conditional counts, the same
+    FILTER-aggregation shape the SQL oracle spells out."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0))
+    return out.select("user_id",
+                      *[F.col(t).cast("long").alias(f"n_{t}") for t in types])

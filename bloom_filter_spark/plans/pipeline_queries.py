@@ -649,6 +649,18 @@ def q_funnel_conversion(spark, sf_dir):
                              FUNNEL_STEPS)
 
 
+def q_lineitem_rollup_cube(spark, sf_dir):
+    return relational.lineitem_rollup_cube(spark, sf_dir)
+
+
+def q_user_running_spend(spark, sf_dir):
+    return relational.user_running_spend(spark, sf_dir)
+
+
+def q_event_type_pivot(spark, sf_dir):
+    return relational.event_type_pivot(spark, sf_dir)
+
+
 def q_tpch_q4(spark, sf_dir):
     return relational.tpch_q4(spark, sf_dir)
 
@@ -880,6 +892,9 @@ PIPELINE_QUERIES = {
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
     "events_funnel_conversion": q_funnel_conversion,
+    "lineitem_rollup": q_lineitem_rollup_cube,
+    "user_running_spend": q_user_running_spend,
+    "event_type_pivot": q_event_type_pivot,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -1468,6 +1483,44 @@ def pipeline_oracles() -> dict[str, str]:
                 AND l_shipdate > DATE '1995-03-15'
               GROUP BY l_orderkey, o_orderdate)
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 4) AS sum_price,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                        AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "user_running_spend": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW), 4)
+                       AS cum_spend,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING
+                                              AND CURRENT ROW), 4)
+                       AS ma3_spend
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error
+            FROM events GROUP BY user_id
         """,
         "events_funnel_conversion": """
             WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS ts

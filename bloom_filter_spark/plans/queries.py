@@ -1102,6 +1102,9 @@ _HEAD = [
     "docs_trim_by_group_rank",
     "events_funnel_conversion",
     "dedup_apply_keep_policy",
+    "lineitem_rollup",
+    "user_running_spend",
+    "event_type_pivot",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1112,14 +1115,11 @@ _HEAD = [
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
     "streaming_bloom_equals_batch",
-    "bloom_cardinality_estimate",
     "text_contamination_check",
     "dedup_minhash_lsh",
     "hll_distinct_per_source",
-    "kmv_source_difference",
     "cms_heavy_hitters",
     "kll_grouped_quantiles_per_source",
-    "streaming_windowed_distinct_hll",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
     "weighted_sample_per_source",
@@ -1137,6 +1137,17 @@ _TAIL = [
     #                                 source (same grouped build phases)
     #   cuckoo_delete_probe        ← cuckoo_doc_membership (same grouped
     #                                 single-writer states + metro path)
+    #   bloom_cardinality_estimate ← bloom_membership_fpr (same changed
+    #                                 build; the fill-ratio math is r5-
+    #                                 untouched)
+    #   kmv_source_difference      ← kmv_source_overlap_matrix (same KMV
+    #                                 grouped states + θ composition)
+    #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
+    #                                 grouped HLL build; the stream
+    #                                 accumulator class is r5-untouched)
+    "bloom_cardinality_estimate",
+    "kmv_source_difference",
+    "streaming_windowed_distinct_hll",
     "bloom_membership_present",
     "mg_grouped_heavy_hitters_per_source",
     "cuckoo_delete_probe",
