@@ -352,6 +352,18 @@ def q_multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "fake_width", "fake_height")
 
 
+FRAME_EVERY_N = 16
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame-sampling plumbing (multimodal.frame_sample_stub):
+    n_frames = max(bytes // 16, 1) fixed windows, keep every 16th
+    (ceil-div) — the decode is the honest stub, but the schema, batching
+    and sampling arithmetic are real and exactly SQL-reproducible."""
+    payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.frame_sample_stub(payload, every_n=FRAME_EVERY_N)
+
+
 # ---------------------------------------------------------------- streaming
 def _split_table_stream_dir(sf_dir: str, table_file: str,
                             subdir: str) -> str:
@@ -885,6 +897,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_langid": q_langid,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frame_sample": q_multimodal_frames,
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_windowed_distinct_hll": q_streaming_windowed_distinct,
@@ -1442,6 +1455,18 @@ def pipeline_oracles() -> dict[str, str]:
         """,
         # greatest(...,1) clamps mirror _decode_stub's max(...,1): an
         # empty payload yields (width,height)=(1,1), never a 0-division
+        "multimodal_frame_sample": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     greatest(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                              // 16, 1) AS n_frames
+              FROM documents
+            )
+            SELECT doc_id, n_frames,
+                   (n_frames + {FRAME_EVERY_N - 1}) // {FRAME_EVERY_N}
+                       AS n_sampled
+            FROM m
+        """,
         "multimodal_meta": """
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

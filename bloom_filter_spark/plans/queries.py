@@ -1105,13 +1105,13 @@ _HEAD = [
     "lineitem_rollup",
     "user_running_spend",
     "event_type_pivot",
+    "multimodal_frame_sample",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
     # checkpoint est_rows, sliced as-of null guard, contamination
     # distributed-eval route, minhash band-state refactor
     "blocked_bloom_xxh3_doc_membership",
-    "cbloom_delete_probe",
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
     "streaming_bloom_equals_batch",
@@ -1140,11 +1140,15 @@ _TAIL = [
     #   bloom_cardinality_estimate ← bloom_membership_fpr (same changed
     #                                 build; the fill-ratio math is r5-
     #                                 untouched)
+    #   cbloom_delete_probe        ← streaming_cbloom_retractions (same
+    #                                 delta fold, shard src and cbloom
+    #                                 str path)
     #   kmv_source_difference      ← kmv_source_overlap_matrix (same KMV
     #                                 grouped states + θ composition)
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    "cbloom_delete_probe",
     "bloom_cardinality_estimate",
     "kmv_source_difference",
     "streaming_windowed_distinct_hll",
