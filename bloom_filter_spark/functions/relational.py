@@ -283,7 +283,6 @@ def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "event_id",
                   F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
                   "value"))
-    from pyspark.sql import Window
     w = (Window.partitionBy("user_id")
          .orderBy("ts_us", "event_id"))
     return ev.select(
@@ -302,6 +301,9 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILTER-aggregation shape the SQL oracle spells out."""
     types = ["click", "view", "purchase", "signup", "error"]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    out = (ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0))
+    # fill ONLY the pivoted columns: an unscoped fill would rewrite a
+    # NULL user_id group key to 0 (spurious user-0 row)
+    out = (ev.groupBy("user_id").pivot("event_type", types).count()
+           .na.fill(0, subset=types))
     return out.select("user_id",
                       *[F.col(t).cast("long").alias(f"n_{t}") for t in types])

@@ -1453,8 +1453,6 @@ def pipeline_oracles() -> dict[str, str]:
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents
         """,
-        # greatest(...,1) clamps mirror _decode_stub's max(...,1): an
-        # empty payload yields (width,height)=(1,1), never a 0-division
         "multimodal_frame_sample": f"""
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1467,6 +1465,8 @@ def pipeline_oracles() -> dict[str, str]:
                        AS n_sampled
             FROM m
         """,
+        # greatest(...,1) clamps mirror _decode_stub's max(...,1): an
+        # empty payload yields (width,height)=(1,1), never a 0-division
         "multimodal_meta": """
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,
