@@ -300,3 +300,74 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 4,
             .select("query_id", "neighbor_id",
                     F.round("sim_raw", 6).alias("sim"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+QUANT_MAX = 127
+
+
+def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× embedding-storage
+    compression step of a training/retrieval pipeline:
+    scale = max(|v|)/127, q_i = clamp(floor(v_i/scale + 0.5), −127, 127)
+    (explicit floor(x+0.5) half-up so EVERY engine computes identical
+    integers — numpy's round() is half-even and SQL engines vary).
+    All-zero vectors quantize to zeros with scale 0.
+
+    → (id, n_dims, sum_q, sum_abs_q, max_q, min_q): exact integer
+    summaries of the quantized vector (the driver-gate shape; callers
+    wanting the int8 payload take ``q`` from the same kernel).  Scale
+    shape: ONE mapInArrow pass reading the list column's flat float32
+    buffer zero-copy — per-batch numpy, no explode, no shuffle; output is
+    one short row per vector."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            col = b.column(1)
+            if col.null_count:
+                keep = pa.compute.is_valid(col)
+                col = col.filter(keep)
+                ids = ids.filter(keep)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False)
+            n = len(col)
+            if n == 0:
+                continue
+            lens = offs[1:] - offs[:-1]
+            owner = np.repeat(np.arange(n), lens)
+            absmax = np.zeros(n, np.float64)
+            np.maximum.at(absmax, owner, np.abs(flat))
+            scale = absmax / QUANT_MAX
+            safe = np.where(scale > 0, scale, 1.0)
+            q = np.floor(flat / safe[owner] + 0.5)
+            np.clip(q, -QUANT_MAX, QUANT_MAX, out=q)
+            q[scale[owner] == 0] = 0.0
+            q = q.astype(np.int64)
+            sum_q = np.zeros(n, np.int64)
+            np.add.at(sum_q, owner, q)
+            sum_abs = np.zeros(n, np.int64)
+            np.add.at(sum_abs, owner, np.abs(q))
+            max_q = np.full(n, np.iinfo(np.int64).min)
+            np.maximum.at(max_q, owner, q)
+            min_q = np.full(n, np.iinfo(np.int64).max)
+            np.minimum.at(min_q, owner, q)
+            empty = lens == 0
+            max_q[empty] = 0
+            min_q[empty] = 0
+            yield pa.RecordBatch.from_pydict({
+                "id": ids,
+                "n_dims": pa.array(lens, pa.int64()),
+                "sum_q": pa.array(sum_q, pa.int64()),
+                "sum_abs_q": pa.array(sum_abs, pa.int64()),
+                "max_q": pa.array(max_q, pa.int64()),
+                "min_q": pa.array(min_q, pa.int64()),
+            })
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = sel.mapInArrow(
+        kernel, "id long, n_dims long, sum_q long, sum_abs_q long, "
+                "max_q long, min_q long")
+    return out.withColumnRenamed("id", id_col)

@@ -352,6 +352,17 @@ def q_multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "fake_width", "fake_height")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings_int8): one zero-copy mapInArrow pass
+    over the flat float32 buffer; the oracle recomputes the identical
+    scale + floor(x+0.5) half-up arithmetic per element and must match
+    the integer summaries exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..functions.similarity import quantize_embeddings_int8
+    return quantize_embeddings_int8(emb)
+
+
 FRAME_EVERY_N = 16
 
 
@@ -898,6 +909,7 @@ PIPELINE_QUERIES = {
     "text_langid": q_langid,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
+    "embedding_quantize_int8": q_quantize_embeddings,
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_windowed_distinct_hll": q_streaming_windowed_distinct,
@@ -1452,6 +1464,27 @@ def pipeline_oracles() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents
+        """,
+        "embedding_quantize_int8": """
+            WITH u AS (
+              SELECT vec_id, unnest(embedding) AS e FROM embeddings
+            ), m AS (
+              SELECT vec_id, max(abs(e)) / 127.0 AS scale
+              FROM u GROUP BY vec_id
+            ), q AS (
+              SELECT u.vec_id,
+                     CASE WHEN m.scale > 0
+                          THEN CAST(greatest(least(floor(u.e / m.scale + 0.5),
+                                                   127), -127) AS BIGINT)
+                          ELSE 0 END AS qv
+              FROM u JOIN m USING (vec_id)
+            )
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+                   CAST(sum(qv) AS BIGINT) AS sum_q,
+                   CAST(sum(abs(qv)) AS BIGINT) AS sum_abs_q,
+                   CAST(max(qv) AS BIGINT) AS max_q,
+                   CAST(min(qv) AS BIGINT) AS min_q
+            FROM q GROUP BY vec_id
         """,
         "multimodal_frame_sample": f"""
             WITH m AS (

@@ -1106,6 +1106,7 @@ _HEAD = [
     "user_running_spend",
     "event_type_pivot",
     "multimodal_frame_sample",
+    "embedding_quantize_int8",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1122,7 +1123,6 @@ _HEAD = [
     "kll_grouped_quantiles_per_source",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
-    "weighted_sample_per_source",
     # bloom over i64 keys — the bit-staging density route changed in r5
     "bloom_prefilter_join",
 ]
@@ -1143,12 +1143,17 @@ _TAIL = [
     #   cbloom_delete_probe        ← streaming_cbloom_retractions (same
     #                                 delta fold, shard src and cbloom
     #                                 str path)
+    #   weighted_sample_per_source ← weighted_sample_docs (same changed
+    #                                 mapInArrow keying + null-id guard;
+    #                                 the per-group window is r5-
+    #                                 untouched)
     #   kmv_source_difference      ← kmv_source_overlap_matrix (same KMV
     #                                 grouped states + θ composition)
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
     "cbloom_delete_probe",
+    "weighted_sample_per_source",
     "bloom_cardinality_estimate",
     "kmv_source_difference",
     "streaming_windowed_distinct_hll",

@@ -1071,3 +1071,19 @@ def test_apply_keep_policy(spark):
     # 3 and 5 drop (clustered, non-representative); 0 and 2 are reps;
     # 1 and 4 unclustered
     assert kept == [0, 1, 2, 4]
+
+
+def test_quantize_embeddings_int8_semantics(spark):
+    from bloom_filter_spark.functions.similarity import quantize_embeddings_int8
+    rows = [
+        (1, [1.0, -1.0, 0.5]),        # scale 1/127; q = [127, -127, 64]
+        (2, [0.0, 0.0]),              # zero vector -> zeros
+        (3, [2.54]),                  # single dim -> q = 127
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.n_dims, r.sum_q, r.sum_abs_q, r.max_q, r.min_q)
+           for r in quantize_embeddings_int8(df).collect()}
+    # v1: scale = 1/127 -> q = [127, -127, floor(63.5 + .5)=64]
+    assert got[1] == (3, 64, 318, 127, -127)
+    assert got[2] == (2, 0, 0, 0, 0)
+    assert got[3] == (1, 127, 127, 127, 127)
