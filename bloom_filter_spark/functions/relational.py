@@ -307,3 +307,21 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            .na.fill(0, subset=types))
     return out.select("user_id",
                       *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly revenue
+    lost if small orders (quantity below 20% of the part's average) were
+    not filled.  The correlated scalar subquery (per-part avg) is realized
+    as a WINDOW aggregate over the part key — one hash Exchange, no
+    self-join, no decorrelation rewrite needed; the per-part average is
+    computed once and streamed past every lineitem of the part."""
+    from pyspark.sql import Window
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    w = Window.partitionBy("l_partkey")
+    flagged = (li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+               .where(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_small"),
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))

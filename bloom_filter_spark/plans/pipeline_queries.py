@@ -363,6 +363,51 @@ def q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings_int8(emb)
 
 
+def _docs_jsonl_dir(sf_dir: str) -> str:
+    """Write the documents table as deterministic JSONL (sorted keys, one
+    object per line, stdlib json) — the source-format fixture for the
+    JSON reader path."""
+    import json as _json
+
+    from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name_of_dir(sf_dir),
+                       "docs_jsonl")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        with open(os.path.join(out, "docs.jsonl"), "w") as f:
+            for row in t.to_pylist():
+                f.write(_json.dumps(row, sort_keys=True) + "\n")
+        open(marker, "w").close()
+    return out
+
+
+def q_docs_jsonl_source(spark, sf_dir):
+    """Source-format breadth: the documents corpus ingested from JSONL
+    (spark.read.json with a PINNED schema — no sampling inference job)
+    must aggregate identically to the parquet table, which is the oracle.
+    Proves the JSON source path end-to-end: schema application, type
+    coercion, and row fidelity."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    path = _docs_jsonl_dir(sf_dir)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    docs = spark.read.schema(schema).json(f"{path}/docs.jsonl")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.count(F.col("text")).cast("long").alias("n_texts"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
 FRAME_EVERY_N = 16
 
 
@@ -688,6 +733,10 @@ def q_tpch_q4(spark, sf_dir):
     return relational.tpch_q4(spark, sf_dir)
 
 
+def q_tpch_q17(spark, sf_dir):
+    return relational.tpch_q17(spark, sf_dir)
+
+
 def q_tpch_q5(spark, sf_dir):
     return relational.tpch_q5(spark, sf_dir)
 
@@ -910,6 +959,7 @@ PIPELINE_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frames,
     "embedding_quantize_int8": q_quantize_embeddings,
+    "docs_jsonl_source": q_docs_jsonl_source,
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_windowed_distinct_hll": q_streaming_windowed_distinct,
@@ -922,6 +972,7 @@ PIPELINE_QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
+    "tpch_q17": q_tpch_q17,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "top_customer_per_nation": q_top_customer_per_nation,
@@ -1465,6 +1516,13 @@ def pipeline_oracles() -> dict[str, str]:
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents
         """,
+        "docs_jsonl_source": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(count(text) AS BIGINT) AS n_texts,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY lang
+        """,
         "embedding_quantize_int8": """
             WITH u AS (
               SELECT vec_id, unnest(embedding) AS e FROM embeddings
@@ -1614,6 +1672,19 @@ def pipeline_oracles() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "tpch_q17": """
+            WITH f AS (
+              SELECT l_extendedprice
+              FROM (SELECT l_partkey, l_quantity, l_extendedprice,
+                           avg(l_quantity) OVER (PARTITION BY l_partkey)
+                               AS avg_qty
+                    FROM lineitem)
+              WHERE l_quantity < 0.2 * avg_qty
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_small,
+                   round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM f
         """,
         "tpch_q5": """
             SELECT n.n_name, round(sum(l.l_extendedprice

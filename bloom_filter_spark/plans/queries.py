@@ -1107,6 +1107,8 @@ _HEAD = [
     "event_type_pivot",
     "multimodal_frame_sample",
     "embedding_quantize_int8",
+    "tpch_q17",
+    "docs_jsonl_source",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1115,8 +1117,6 @@ _HEAD = [
     "blocked_bloom_xxh3_doc_membership",
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
-    "streaming_bloom_equals_batch",
-    "text_contamination_check",
     "dedup_minhash_lsh",
     "hll_distinct_per_source",
     "cms_heavy_hitters",
@@ -1147,6 +1147,14 @@ _TAIL = [
     #                                 mapInArrow keying + null-id guard;
     #                                 the per-group window is r5-
     #                                 untouched)
+    #   streaming_bloom_equals_batch ← bloom_checkpoint_resume + the
+    #                                 stale-20 bloom rows (same build +
+    #                                 merge; the accumulator class is r5-
+    #                                 untouched)
+    #   text_contamination_check   ← its route-equality pytest + the r5
+    #                                 gate ran it green three times; the
+    #                                 distributed-route code is pytest-
+    #                                 pinned
     #   kmv_source_difference      ← kmv_source_overlap_matrix (same KMV
     #                                 grouped states + θ composition)
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
@@ -1154,6 +1162,8 @@ _TAIL = [
     #                                 accumulator class is r5-untouched)
     "cbloom_delete_probe",
     "weighted_sample_per_source",
+    "streaming_bloom_equals_batch",
+    "text_contamination_check",
     "bloom_cardinality_estimate",
     "kmv_source_difference",
     "streaming_windowed_distinct_hll",
