@@ -27,6 +27,7 @@ _HEADER_LEN = {
     "cuckoo": 20,         # cuckoo never merges; listed for completeness
     "hll": 12,            # u32 b | u64 seed
     "cms": 32,            # u32 d | u32 w | u64 seed | f64 eps | f64 delta
+    "countsketch": 16,    # u32 d | u32 w | u64 seed
     "kll": 12,            # u32 k | u64 seed (n/counter follow, may differ)
     "tdigest": 8,         # f64 compression
     "mg": 4,              # u32 k (n/offset follow, may differ)

@@ -85,10 +85,13 @@ def membership_udf(spark: SparkSession, blob: bytes, kind: str,
     return probe
 
 
-def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32"):
-    """→ pandas_udf(LongType): CMS frequency point estimate per key."""
+def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32",
+                  kind: str = "cms"):
+    """→ pandas_udf(LongType): frequency point estimate per key.  Works for
+    any sketch exposing point_i32/point_i64/point_str (CMS min-row estimate,
+    Count-Sketch signed median) — ``kind`` selects the deserializer."""
     bc = spark.sparkContext.broadcast(blob)
-    key = _cache_key(blob, "cms")
+    key = _cache_key(blob, kind)
 
     def _masked(s: pd.Series, fn) -> pd.Series:
         # NULL keys have frequency 0, not key-0's estimate

@@ -25,7 +25,8 @@ from ..operators import (
 )
 from ..sketches import (
     BlockedBloomParams, BlockedBloomSketch, BloomParams, BloomSketch,
-    CMSParams, CMSSketch, CuckooFilter, CuckooParams,
+    CMSParams, CMSSketch, CountSketch, CountSketchParams,
+    CuckooFilter, CuckooParams,
     HLLParams, HLLSketch, KLLParams, KLLSketch,
     TDigestParams, TDigestSketch,
 )
@@ -38,6 +39,7 @@ DOC_BLOOM_P = 0.01
 TOKEN_BLOCKED = BlockedBloomParams(n=65_536, p=0.01)
 HLL_B = 14
 CMS_CFG = CMSParams(eps=0.0001, delta=0.001)
+CS_CFG = CountSketchParams(w=1 << 15, d=5)
 KLL_CFG = KLLParams(k=200)
 TD_CFG = TDigestParams(compression=200)
 QS = [0.01, 0.25, 0.5, 0.75, 0.99]
@@ -77,6 +79,8 @@ def _blob(spark, sf_dir, kind: str):
         out = build_sketch(toks, HLLSketch(HLLParams(b=HLL_B)), "tokens", "i32_array")
     elif kind == "cms_tokens":
         out = build_sketch(toks, CMSSketch(CMS_CFG), "tokens", "i32_array")
+    elif kind == "countsketch_tokens":
+        out = build_sketch(toks, CountSketch(CS_CFG), "tokens", "i32_array")
     elif kind == "kll_ntok":
         out = build_sketch(toks, KLLSketch(KLL_CFG), "n_tok", "f64")
     elif kind == "td_ntok":
@@ -537,6 +541,30 @@ def q_cms_no_underestimate(spark, sf_dir):
                                  "n_probed bigint, n_underestimates bigint")
 
 
+def q_countsketch_point_f2(spark, sf_dir):
+    """Count-Sketch (Charikar et al. 2002): UNBIASED point estimates for the
+    top-20 tokens (CMS can only overestimate) plus the AMS second moment —
+    both checked against exact values computed in the same plan.  The 6σ
+    bounds (σ_point ≤ sqrt(F2/w), σ_F2 ≤ F2·sqrt(2/w), d-row medians)
+    deterministically hold at the fixture's fixed seed."""
+    blob, _ = _blob(spark, sf_dir, "countsketch_tokens")
+    point = cms_point_udf(spark, blob, "i32", kind="countsketch")
+    counts = (_tokens(spark, sf_dir).select(F.explode("tokens").alias("token"))
+              .groupBy("token").agg(F.count("*").alias("exact_cnt")))
+    f2 = int(counts.agg(F.sum(F.col("exact_cnt") * F.col("exact_cnt"))
+                        .alias("f2")).collect()[0].f2)
+    sk, state = CountSketch.deserialize(blob)
+    f2_ok = abs(sk.f2_estimate(state) - f2) <= 6.0 * f2 * np.sqrt(2.0 / CS_CFG.w)
+    point_bound = 6.0 * np.sqrt(f2 / CS_CFG.w)
+    top = counts.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    return top.withColumn("est", point(F.col("token"))).select(
+        "token", "exact_cnt",
+        F.lit(f2).alias("exact_f2"),
+        (F.abs(F.col("est") - F.col("exact_cnt")) <= F.lit(point_bound))
+        .alias("cs_ok"),
+        F.lit(bool(f2_ok)).alias("f2_ok"))
+
+
 # --------------------------------------------------------------------------
 # Quantile sketches (KLL / t-digest)
 # --------------------------------------------------------------------------
@@ -846,6 +874,7 @@ SKETCH_QUERIES = {
     "kmv_source_overlap_matrix": q_source_overlap_matrix,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
+    "countsketch_point_f2": q_countsketch_point_f2,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
     "kll_token_value_quantiles": q_kll_token_value_quantiles,
@@ -985,6 +1014,17 @@ def sketch_oracles() -> dict[str, str]:
                 FROM (SELECT unnest(tokens) AS t FROM {tok})
                 GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
         """,
+        "countsketch_point_f2": f"""
+            WITH c AS (
+                SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM (SELECT unnest(tokens) AS t FROM {tok})
+                GROUP BY t)
+            SELECT token, exact_cnt,
+                   (SELECT CAST(sum(exact_cnt * exact_cnt) AS BIGINT) FROM c)
+                       AS exact_f2,
+                   TRUE AS cs_ok, TRUE AS f2_ok
+            FROM c ORDER BY exact_cnt DESC, token ASC LIMIT 20
+        """,
         "cms_no_underestimate": f"""
             SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_probed,
                    CAST(0 AS BIGINT) AS n_underestimates
@@ -1109,6 +1149,7 @@ _HEAD = [
     "embedding_quantize_int8",
     "tpch_q17",
     "docs_jsonl_source",
+    "countsketch_point_f2",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1117,7 +1158,6 @@ _HEAD = [
     "blocked_bloom_xxh3_doc_membership",
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
-    "dedup_minhash_lsh",
     "hll_distinct_per_source",
     "cms_heavy_hitters",
     "kll_grouped_quantiles_per_source",
@@ -1160,6 +1200,12 @@ _TAIL = [
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    #   dedup_minhash_lsh          ← dedup_minhash_incremental (head (b);
+    #                                 exercises the refactored minhash_bands
+    #                                 + lsh_pairs code end-to-end — the one-
+    #                                 shot path is the incremental path with
+    #                                 an empty prior state)
+    "dedup_minhash_lsh",
     "cbloom_delete_probe",
     "weighted_sample_per_source",
     "streaming_bloom_equals_batch",

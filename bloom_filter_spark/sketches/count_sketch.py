@@ -1,0 +1,160 @@
+"""Count-Sketch — unbiased frequency point queries + AMS second-moment
+estimate (engine extension beyond the CMS mandate, SURVEY.md §2.11).
+
+Charikar, Chen & Farach-Colton 2002 ("Finding frequent items in data
+streams"): a d×w int64 counter matrix where each row j has a bucket hash
+h_j and a ±1 sign hash s_j:
+
+  update:   counts[j, h_j(x)] += s_j(x) · weight      (all d rows)
+  point:    median_j( s_j(x) · counts[j, h_j(x)] )    — UNBIASED (unlike
+            CMS, which only overestimates); |err| ≤ sqrt(F2/w) per row
+            (variance ≤ F2/w), so the d-row median concentrates sharply.
+  F2:       median_j( Σ_i counts[j,i]² )              — the AMS (Alon–
+            Matias–Szegedy 1996) second-moment estimator; per-row
+            variance ≤ 2·F2²/w.
+  merge:    element-wise +  (associative, commutative — bit-identical
+            under any merge order, like CMS).
+
+Bucket indices derive from ONE 64-bit hash per batch via the
+Kirsch–Mitzenmacher expansion (idx_j = (h1 + j·h2) mod w — the same
+derived-family argument the reference's Bloom filter uses,
+/root/reference/filter/hash.go:5-14).  Signs come from an INDEPENDENT
+mixer pass (seed XOR a fixed odd constant) expanded the same way, taking
+the top bit — sign and bucket of the same key are decorrelated, which the
+unbiasedness argument needs.  d is forced odd so the median of integer
+per-row estimates is itself an integer (deterministic, no .5 averaging).
+
+Updates are vectorized with np.bincount (weighted by the sign) per row —
+one pass per row over the batch, no per-key Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import hashing
+from ..core.serde import Reader, pack_u32, pack_u64
+from .base import register
+
+_SIGN_SEED_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd constant
+
+
+@dataclass(frozen=True)
+class CountSketchParams:
+    """Explicit (w, d) sizing, like KLL's k: err ≤ ~sqrt(F2/w) per row
+    with failure prob exp(-Ω(d)) for the median.  d is rounded up to odd."""
+    w: int = 1 << 15
+    d: int = 5
+    seed: int = hashing.DEFAULT_SEED
+
+    def __post_init__(self):
+        if self.w < 2 or self.d < 1:
+            raise ValueError("invalid CountSketch params")
+        object.__setattr__(self, "d", self.d | 1)  # force odd for the median
+
+
+@register
+class CountSketch:
+    kind = "countsketch"
+
+    def __init__(self, params: CountSketchParams):
+        self.params = params
+
+    def empty(self) -> np.ndarray:
+        return np.zeros((self.params.d, self.params.w), dtype=np.int64)
+
+    def _hashes(self, values, kind) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket hash, sign hash) — two independent mixer passes."""
+        p = self.params
+        sign_seed = (p.seed ^ _SIGN_SEED_MIX) & 0xFFFFFFFFFFFFFFFF
+        if kind == "str":
+            return (hashing.hash64_str(values, p.seed),
+                    hashing.hash64_str(values, sign_seed))
+        if kind == "i64":
+            v = np.asarray(values, np.int64)
+            return (hashing.hash64_i64(v, p.seed),
+                    hashing.hash64_i64(v, sign_seed))
+        v = np.asarray(values, np.int32)
+        return (hashing.hash64_i32(v, p.seed),
+                hashing.hash64_i32(v, sign_seed))
+
+    def _row(self, h: np.ndarray, j: int, mod: int) -> np.ndarray:
+        h1, h2 = hashing.split_h1_h2(h)
+        with np.errstate(over="ignore"):
+            mixed = h1 + np.uint64(j) * h2
+        return (mixed % np.uint64(mod)).astype(np.int64)
+
+    def _signs(self, hs: np.ndarray, j: int) -> np.ndarray:
+        h1, h2 = hashing.split_h1_h2(hs)
+        with np.errstate(over="ignore"):
+            mixed = h1 + np.uint64(j) * h2
+        # split_h1_h2 yields 32-bit halves (reference filter/hash.go:7-8), so
+        # the well-mixed bits of the K-M expansion live in the low 32 —
+        # bit 31 → {+1, -1} (bit 63 would be constant 0 at j=0)
+        return 1 - 2 * ((mixed >> np.uint64(31)) & np.uint64(1)).astype(np.int64)
+
+    def _update(self, state, values, kind, weights=None) -> None:
+        h, hs = self._hashes(values, kind)
+        p = self.params
+        w = (np.ones(h.size, np.int64) if weights is None
+             else np.asarray(weights, np.int64))
+        for j in range(p.d):
+            idx = self._row(h, j, p.w)
+            sw = self._signs(hs, j) * w
+            state[j] += np.bincount(idx, weights=sw,
+                                    minlength=p.w).astype(np.int64)
+
+    def update_i32(self, state, values, weights=None) -> None:
+        self._update(state, values, "i32", weights)
+
+    def update_i64(self, state, values, weights=None) -> None:
+        self._update(state, values, "i64", weights)
+
+    def update_str(self, state, values, weights=None) -> None:
+        self._update(state, values, "str", weights)
+
+    def _point(self, state, h: np.ndarray, hs: np.ndarray) -> np.ndarray:
+        p = self.params
+        ests = np.stack([self._signs(hs, j) * state[j, self._row(h, j, p.w)]
+                         for j in range(p.d)])
+        ests.sort(axis=0)
+        return ests[p.d // 2]  # d odd → true integer median
+
+    def point_i32(self, state, values) -> np.ndarray:
+        return self._point(state, *self._hashes(values, "i32"))
+
+    def point_i64(self, state, values) -> np.ndarray:
+        return self._point(state, *self._hashes(values, "i64"))
+
+    def point_str(self, state, values) -> np.ndarray:
+        return self._point(state, *self._hashes(values, "str"))
+
+    def f2_estimate(self, state) -> float:
+        """AMS second moment: median over rows of Σ counts².  float64
+        accumulation — at 10^12-token scale per-cell counts can square
+        past int64."""
+        sq = np.square(state.astype(np.float64)).sum(axis=1)
+        return float(np.median(sq))
+
+    def merge(self, a, b) -> np.ndarray:
+        return a + b
+
+    def serialize(self, state: np.ndarray) -> bytes:
+        p = self.params
+        header = pack_u32(p.d) + pack_u32(p.w) + pack_u64(p.seed)
+        return header + state.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes):
+        r = Reader(blob)
+        d = r.u32()
+        w = r.u32()
+        seed = r.u64()
+        state = r.array("<i8", d * w).reshape(d, w)
+        params = object.__new__(CountSketchParams)
+        object.__setattr__(params, "w", w)
+        object.__setattr__(params, "d", d)
+        object.__setattr__(params, "seed", seed)
+        return cls(params), state

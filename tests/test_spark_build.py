@@ -109,6 +109,33 @@ def test_cms_distributed_point_queries(spark, tokens_df):
         assert r.est - r["count"] <= sketch.params.eps * n
 
 
+def test_countsketch_distributed_build_matches_local(spark, tokens_df):
+    """Distributed build ≡ single-process build bit-for-bit (counter-sum is
+    order-invariant), and the unbiased point estimates honor the F2 bound."""
+    from bloom_filter_spark.sketches import CountSketch, CountSketchParams
+    sketch = CountSketch(CountSketchParams(w=1 << 14, d=5))
+    blob, n = build_sketch(tokens_df, sketch, "tokens", "i32_array",
+                           repartition=8)
+    rows = tokens_df.select("tokens").collect()
+    local = sketch.empty()
+    sketch.update_i32(local, np.concatenate(
+        [np.asarray(r.tokens, np.int32) for r in rows]))
+    _, dist = CountSketch.deserialize(blob)
+    assert np.array_equal(dist, local)
+    counts = (tokens_df.select(F.explode("tokens").alias("t"))
+              .groupBy("t").count().collect())
+    c = np.array([r["count"] for r in counts], dtype=np.float64)
+    f2 = float((c ** 2).sum())
+    point = cms_point_udf(spark, blob, "i32", kind="countsketch")
+    top = (tokens_df.select(F.explode("tokens").alias("t"))
+           .groupBy("t").count().orderBy(F.desc("count")).limit(50)
+           .withColumn("est", point(F.col("t"))).collect())
+    bound = 6 * np.sqrt(f2 / sketch.params.w)
+    errs = np.array([r.est - r["count"] for r in top], dtype=np.float64)
+    assert np.abs(errs).max() <= bound
+    assert abs(sketch.f2_estimate(dist) - f2) <= 6 * f2 * np.sqrt(2 / sketch.params.w)
+
+
 def test_kll_tdigest_distributed_quantiles(spark, tokens_df):
     exact_ntok = np.sort(np.array(
         tokens_df.select("n_tok").toPandas()["n_tok"], dtype=np.float64))
