@@ -15,7 +15,7 @@ did, to the full matrix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..sketches.kmv import KMVParams, KMVSketch
 
@@ -50,3 +50,52 @@ def source_overlap_matrix(df: DataFrame, group_col: str, col: str,
     return df.sparkSession.createDataFrame(
         rows, "group_a string, group_b string, est_common double, "
               "est_union double, est_jaccard double")
+
+
+def token_distribution_drift(df: DataFrame, group_col: str, tokens_col: str,
+                             group_a: str, group_b: str,
+                             smoothing: float = 0.5) -> DataFrame:
+    """Unigram-distribution drift between two groups: PSI + both KL
+    directions — the standard corpus-mix monitoring check (did src_00's
+    token distribution shift vs src_01's / vs last week's snapshot?).
+
+    → one row (group_a, group_b, n_tokens_a, n_tokens_b, n_vocab_union,
+    psi, kl_ab, kl_ba), the divergences rounded to 6 dp.  Additive
+    smoothing over the UNION vocabulary keeps every term finite:
+      p_t = (cnt_a(t) + s) / (N_a + s·V),  q_t analogously,
+      PSI  = Σ (p_t − q_t)·ln(p_t/q_t)      (symmetric, ≥ 0)
+      KL(a‖b) = Σ p_t·ln(p_t/q_t)
+    All JVM-side: one scan filtered to the two groups (partition-prunable
+    when the table is partitioned by the group column), one map-side-
+    combined groupBy(token) producing conditional counts for both groups in
+    the same pass (no self-join), totals broadcast back via a 1-row cross
+    join, one scalar aggregation over the ~V token rows.  Nothing driver-
+    side; shuffle volume is vocabulary-sized, independent of corpus size.
+    """
+    g = F.col(group_col)
+    flat = (df.filter(g.isin([group_a, group_b]))
+            .select(g.alias("g"), F.explode(tokens_col).alias("t")))
+    counts = flat.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"))
+    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                        F.count("*").alias("v"))
+    s = float(smoothing)
+    joined = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("ca") + F.lit(s)) / (F.col("na") + F.lit(s) * F.col("v"))
+    q = (F.col("cb") + F.lit(s)) / (F.col("nb") + F.lit(s) * F.col("v"))
+    return (joined
+            .select(F.col("na"), F.col("nb"), F.col("v"),
+                    ((p - q) * F.log(p / q)).alias("psi_t"),
+                    (p * F.log(p / q)).alias("kla_t"),
+                    (q * F.log(q / p)).alias("klb_t"))
+            .groupBy("na", "nb", "v")
+            .agg(F.round(F.sum("psi_t"), 6).alias("psi"),
+                 F.round(F.sum("kla_t"), 6).alias("kl_ab"),
+                 F.round(F.sum("klb_t"), 6).alias("kl_ba"))
+            .select(F.lit(group_a).alias("group_a"),
+                    F.lit(group_b).alias("group_b"),
+                    F.col("na").cast("long").alias("n_tokens_a"),
+                    F.col("nb").cast("long").alias("n_tokens_b"),
+                    F.col("v").cast("long").alias("n_vocab_union"),
+                    "psi", "kl_ab", "kl_ba"))

@@ -485,6 +485,16 @@ def q_source_overlap_matrix(spark, sf_dir):
         ok.alias("within_bound"))
 
 
+def q_token_drift_psi(spark, sf_dir):
+    """Unigram-distribution drift (PSI + both KL directions) between the two
+    largest sources — exact arithmetic end-to-end (smoothed probabilities,
+    ln, 6-dp round), so the oracle reproduces every output digit.  One
+    conditional-count groupBy(token); shuffle volume is vocabulary-sized."""
+    from ..functions.profiling import token_distribution_drift
+    return token_distribution_drift(_tokens(spark, sf_dir), "source",
+                                    "tokens", "src_00", "src_01")
+
+
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
     path: 45% of rows share one source).  The map-side strategy is proven
@@ -872,6 +882,7 @@ SKETCH_QUERIES = {
     "kmv_source_intersection": q_kmv_source_intersection,
     "kmv_source_difference": q_kmv_source_difference,
     "kmv_source_overlap_matrix": q_source_overlap_matrix,
+    "token_drift_psi": q_token_drift_psi,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
     "countsketch_point_f2": q_countsketch_point_f2,
@@ -1014,6 +1025,30 @@ def sketch_oracles() -> dict[str, str]:
                 FROM (SELECT unnest(tokens) AS t FROM {tok})
                 GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
         """,
+        "token_drift_psi": f"""
+            WITH flat AS (
+                SELECT source AS g, unnest(tokens) AS t FROM {tok}
+                WHERE source IN ('src_00', 'src_01')),
+            c AS (
+                SELECT t,
+                       sum(CASE WHEN g = 'src_00' THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN g = 'src_01' THEN 1 ELSE 0 END) AS cb
+                FROM flat GROUP BY t),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM c),
+            pq AS (
+                SELECT (ca + 0.5) / (na + 0.5 * v) AS p,
+                       (cb + 0.5) / (nb + 0.5 * v) AS q
+                FROM c, tot)
+            SELECT 'src_00' AS group_a, 'src_01' AS group_b,
+                   CAST(tot.na AS BIGINT) AS n_tokens_a,
+                   CAST(tot.nb AS BIGINT) AS n_tokens_b,
+                   CAST(tot.v AS BIGINT) AS n_vocab_union,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi,
+                   round(sum(p * ln(p / q)), 6) AS kl_ab,
+                   round(sum(q * ln(q / p)), 6) AS kl_ba
+            FROM pq, tot
+            GROUP BY tot.na, tot.nb, tot.v
+        """,
         "countsketch_point_f2": f"""
             WITH c AS (
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
@@ -1150,6 +1185,7 @@ _HEAD = [
     "tpch_q17",
     "docs_jsonl_source",
     "countsketch_point_f2",
+    "token_drift_psi",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1159,7 +1195,6 @@ _HEAD = [
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
     "hll_distinct_per_source",
-    "cms_heavy_hitters",
     "kll_grouped_quantiles_per_source",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
@@ -1200,11 +1235,17 @@ _TAIL = [
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    #   cms_heavy_hitters          ← cms_no_underestimate (head (a); same
+    #                                 cms blob + point UDF default path)
+    #                                 and countsketch_point_f2 (head (b);
+    #                                 exercises the changed shared-probe
+    #                                 lines in cms_point_udf)
     #   dedup_minhash_lsh          ← dedup_minhash_incremental (head (b);
     #                                 exercises the refactored minhash_bands
     #                                 + lsh_pairs code end-to-end — the one-
     #                                 shot path is the incremental path with
     #                                 an empty prior state)
+    "cms_heavy_hitters",
     "dedup_minhash_lsh",
     "cbloom_delete_probe",
     "weighted_sample_per_source",

@@ -1087,3 +1087,34 @@ def test_quantize_embeddings_int8_semantics(spark):
     assert got[1] == (3, 64, 318, 127, -127)
     assert got[2] == (2, 0, 0, 0, 0)
     assert got[3] == (1, 127, 127, 127, 127)
+
+
+def test_token_distribution_drift_matches_recompute(spark):
+    """PSI/KL vs a direct numpy recompute on a constructed corpus, including
+    a token present in only one group (the smoothing path) and symmetry of
+    PSI under group swap."""
+    import math
+    from bloom_filter_spark.functions.profiling import token_distribution_drift
+    rows = [("a", [1, 1, 2, 3]), ("a", [2, 2, 4]),
+            ("b", [1, 3, 3, 3]), ("b", [5, 5])]  # 4,5 are one-sided
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = token_distribution_drift(df, "source", "tokens", "a", "b").collect()[0]
+    ca = {1: 2, 2: 3, 3: 1, 4: 1}
+    cb = {1: 1, 3: 3, 5: 2}
+    vocab = sorted(set(ca) | set(cb))
+    na, nb, v, s = sum(ca.values()), sum(cb.values()), len(vocab), 0.5
+    psi = kl_ab = kl_ba = 0.0
+    for t in vocab:
+        p = (ca.get(t, 0) + s) / (na + s * v)
+        q = (cb.get(t, 0) + s) / (nb + s * v)
+        psi += (p - q) * math.log(p / q)
+        kl_ab += p * math.log(p / q)
+        kl_ba += q * math.log(q / p)
+    assert got.n_tokens_a == na and got.n_tokens_b == nb
+    assert got.n_vocab_union == v
+    assert got.psi == round(psi, 6) and got.psi > 0
+    assert got.kl_ab == round(kl_ab, 6)
+    assert got.kl_ba == round(kl_ba, 6)
+    swapped = token_distribution_drift(df, "source", "tokens", "b", "a").collect()[0]
+    assert swapped.psi == got.psi              # PSI is symmetric
+    assert swapped.kl_ab == got.kl_ba          # KL directions swap
