@@ -303,6 +303,32 @@ def q_pack_offsets(spark, sf_dir):
                                  budget=_PACK_BUDGET)
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): the synthetic corpus
+    carries no PII, so the query deterministically injects emails / phones /
+    IPv4s as a pure function of doc_id (identical CASE/concat arithmetic in
+    the oracle) — real regex positives, engine-reproducible redaction
+    (compared via md5 so long texts never cross the compare boundary)."""
+    from ..functions import pii
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" contact doc"), d.cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" call 555-867-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit(".1"))).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).withColumn("text", aug)
+    return pii.pii_scan(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "has_pii",
+        F.md5("redacted").alias("redacted_md5"))
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -924,6 +950,7 @@ def q_weighted_sample_per_source(spark, sf_dir):
 
 
 PIPELINE_QUERIES = {
+    "docs_pii_scan": q_pii_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1415,6 +1442,45 @@ _CLUSTERS_CTE = f"""WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
 
 def pipeline_oracles() -> dict[str, str]:
     out = {
+        # plain string (not an f-string): regex {m,n} braces stay literal
+        "docs_pii_scan": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' contact doc'
+                          || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                        ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+                     AS n_ipv4,
+                   (len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+                    OR len(regexp_extract_all(t,
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) > 0
+                    OR len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0)
+                     AS has_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g')) AS redacted_md5
+            FROM aug
+        """,
         "text_langid": _langid_sql(),
         "curation_pipeline": _curation_sql(),
         "dedup_exact": """

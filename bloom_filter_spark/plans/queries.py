@@ -1186,6 +1186,7 @@ _HEAD = [
     "docs_jsonl_source",
     "countsketch_point_f2",
     "token_drift_psi",
+    "docs_pii_scan",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1198,8 +1199,6 @@ _HEAD = [
     "kll_grouped_quantiles_per_source",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
-    # bloom over i64 keys — the bit-staging density route changed in r5
-    "bloom_prefilter_join",
 ]
 _TAIL = [
     # r4-green rows where r5 left the code (or the executed plan)
@@ -1235,6 +1234,11 @@ _TAIL = [
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    #   bloom_prefilter_join       ← bloom_membership_fpr (head (a); the
+    #                                 r5-changed code is the shared bloom
+    #                                 update density staging, exercised by
+    #                                 every head bloom build; the i64 join-
+    #                                 probe side is r5-untouched)
     #   cms_heavy_hitters          ← cms_no_underestimate (head (a); same
     #                                 cms blob + point UDF default path)
     #                                 and countsketch_point_f2 (head (b);
@@ -1245,6 +1249,7 @@ _TAIL = [
     #                                 + lsh_pairs code end-to-end — the one-
     #                                 shot path is the incremental path with
     #                                 an empty prior state)
+    "bloom_prefilter_join",
     "cms_heavy_hitters",
     "dedup_minhash_lsh",
     "cbloom_delete_probe",

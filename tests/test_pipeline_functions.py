@@ -1118,3 +1118,32 @@ def test_token_distribution_drift_matches_recompute(spark):
     swapped = token_distribution_drift(df, "source", "tokens", "b", "a").collect()[0]
     assert swapped.psi == got.psi              # PSI is symmetric
     assert swapped.kl_ab == got.kl_ba          # KL directions swap
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    """Regex semantics pinned on constructed edge cases: multiple matches,
+    word-boundary guards, category interaction, and PII-free passthrough."""
+    from bloom_filter_spark.functions import pii
+    rows = [
+        (1, "mail a.b+c@ex-1.co and X@y.org now"),           # 2 emails
+        (2, "call 555-123-4567 or 555-000-1111."),           # 2 phones
+        (3, "host 10.0.0.1 then 192.168.255.7 end"),         # 2 IPv4s
+        (4, "x5555-123-45678 and 1.2.3.4567"),               # \b rejects both
+        (5, "clean text without identifiers"),               # nothing
+        (6, "a@b.io at 10.1.2.3 call 555-111-2222"),         # one of each
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in pii.pii_scan(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (2, 0, 0)
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 2, 0)
+    assert got[2].redacted == "call <PHONE> or <PHONE>."
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 2)
+    assert got[3].redacted == "host <IP> then <IP> end"
+    # word boundaries: digit runs glued to more digits/letters must not match
+    assert (got[4].n_phone, got[4].n_ipv4) == (0, 0)
+    assert not got[4].has_pii
+    assert not got[5].has_pii and got[5].redacted == rows[4][1]
+    assert (got[6].n_email, got[6].n_phone, got[6].n_ipv4) == (1, 1, 1)
+    assert got[6].redacted == "<EMAIL> at <IP> call <PHONE>"
+    assert got[6].has_pii
