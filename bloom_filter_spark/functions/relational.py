@@ -325,3 +325,52 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.agg(
         F.count("*").cast("long").alias("n_small"),
         F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: share of one month's revenue from
+    promo parts.  The part dimension broadcasts (only p_partkey/p_type
+    read); the shipdate window sits in PushedFilters on the lineitem scan;
+    both CASE branches aggregate in the same pass — one scan, one broadcast
+    join, a single-row final agg."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-02-01")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+                  .alias("promo_revenue_pct"),
+                 F.count("*").cast("long").alias("n_items")))
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top-20 customers by revenue
+    lost to returns in one quarter.  Orders carry the quarter filter in
+    PushedFilters; lineitem filters to returnflag='R' at the scan; customer
+    and nation broadcast; the top-20 on ROUNDED revenue with a custkey
+    tiebreak is deterministic across engines."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1996-04-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(rev), 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    F.round("c_acctbal", 2).alias("c_acctbal"), "revenue"))

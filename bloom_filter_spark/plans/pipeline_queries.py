@@ -767,6 +767,14 @@ def q_tpch_q5(spark, sf_dir):
     return relational.tpch_q5(spark, sf_dir)
 
 
+def q_tpch_q10(spark, sf_dir):
+    return relational.tpch_q10(spark, sf_dir)
+
+
+def q_tpch_q14(spark, sf_dir):
+    return relational.tpch_q14(spark, sf_dir)
+
+
 def q_top_customer_per_nation(spark, sf_dir):
     return relational.top_customer_per_nation(spark, sf_dir)
 
@@ -1002,6 +1010,8 @@ PIPELINE_QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
     "event_type_stats": q_event_type_stats,
@@ -1738,6 +1748,33 @@ def pipeline_oracles() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(c.c_acctbal, 2) AS c_acctbal,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS promo_revenue_pct,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= '1996-01-01'
+              AND l.l_shipdate < '1996-02-01'
         """,
         "tpch_q17": """
             WITH f AS (

@@ -1187,15 +1187,15 @@ _HEAD = [
     "countsketch_point_f2",
     "token_drift_psi",
     "docs_pii_scan",
+    "tpch_q10",
+    "tpch_q14",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
     # checkpoint est_rows, sliced as-of null guard, contamination
     # distributed-eval route, minhash band-state refactor
-    "blocked_bloom_xxh3_doc_membership",
     "streaming_cbloom_retractions",
     "bloom_checkpoint_resume",
-    "hll_distinct_per_source",
     "kll_grouped_quantiles_per_source",
     # weighted sampling switched mapInPandas -> mapInArrow this round
     "weighted_sample_docs",
@@ -1234,6 +1234,14 @@ _TAIL = [
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    #   blocked_bloom_xxh3_doc_membership ← bloom_doc_membership (head (a);
+    #                                 same StrBuf zero-copy build+probe
+    #                                 surface — the xxh3 padded-matrix
+    #                                 packing it adds is pinned by the
+    #                                 tests/test_strbuf.py Spark e2e)
+    #   hll_distinct_per_source    ← kll_grouped_quantiles_per_source
+    #                                 (head (c); same grouped-build phases
+    #                                 incl. the r5 auto-route guard)
     #   bloom_prefilter_join       ← bloom_membership_fpr (head (a); the
     #                                 r5-changed code is the shared bloom
     #                                 update density staging, exercised by
@@ -1249,6 +1257,8 @@ _TAIL = [
     #                                 + lsh_pairs code end-to-end — the one-
     #                                 shot path is the incremental path with
     #                                 an empty prior state)
+    "blocked_bloom_xxh3_doc_membership",
+    "hll_distinct_per_source",
     "bloom_prefilter_join",
     "cms_heavy_hitters",
     "dedup_minhash_lsh",

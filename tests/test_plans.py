@@ -74,3 +74,23 @@ def test_direct_build_has_no_data_shuffle(spark, sf_small):
     p = _plan(partials)
     assert "Exchange" not in p
     assert "MapInArrow" in p or "mapInArrow" in p.lower()
+
+
+def test_tpch_q14_pushdown_and_broadcast(spark):
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q14(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # part scan reads only the join key + type
+    part_schema = [ln for ln in p.splitlines()
+                   if "ReadSchema" in ln and "p_partkey" in ln][0]
+    assert "p_retailprice" not in part_schema
+
+
+def test_tpch_q10_broadcast_dimension_chain(spark):
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q10(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastHashJoin") >= 2      # customer and nation
+    assert "EqualTo(l_returnflag,R)" in p          # pushed to the scan
+    assert "TakeOrderedAndProject" in p            # top-20, no global sort
