@@ -371,3 +371,64 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
         kernel, "id long, n_dims long, sum_q long, sum_abs_q long, "
                 "max_q long, min_q long")
     return out.withColumnRenamed("id", id_col)
+
+
+def _quantize_cols(vec: "F.Column"):
+    """array<double> → (q array<bigint>, qq bigint): symmetric int8
+    quantization (same floor(x/scale+0.5) half-up arithmetic as
+    quantize_embeddings_int8) plus the quantized self-dot, all as JVM
+    higher-order functions — exactly reproducible in SQL."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(vec, lambda x: F.lit(0).cast("long"))) \
+         .otherwise(F.transform(
+             vec, lambda x: F.least(
+                 F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127.0)),
+                 F.lit(127.0)).cast("long")))
+    qq = F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return q, qq
+
+
+def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval over int8-quantized embeddings: rank candidates
+    by QUANTIZED cosine (integer dot products — the 4×-less-memory-bandwidth
+    scan a 100-TB vector corpus wants), then rescore the winners with the
+    exact float cosine.  → (query_id, neighbor_id, sim_q8, exact_sim, rank).
+
+    Determinism across engines: the quantized vectors are exact integers
+    (identical half-up arithmetic), so the integer dot products, their
+    IEEE sqrt/division, and the rank order (tie-broken by neighbor_id) are
+    bit-reproducible — the whole two-stage pipeline hash-matches an
+    identical-arithmetic SQL oracle, unlike float-sum scoring whose
+    accumulation order varies.  Zero-norm vectors are excluded on both
+    sides (no candidate to rank).  Plan shape matches brute_force_topk:
+    broadcast query set, one corpus scan, window top-k — entirely
+    whole-stage codegen, no Python."""
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    q_arr, qq = _quantize_cols(F.col("v"))
+    quant = base.select(F.col(id_col), "v", q_arr.alias("q"),
+                        qq.alias("qq")).where(F.col("qq") > 0)
+    qs = quant.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("query_v"),
+        F.col("q").alias("query_q"), F.col("qq").alias("query_qq"))
+    cand = quant.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("v").alias("cand_v"),
+                        F.col("q").alias("cand_q"), F.col("qq").alias("cand_qq"))
+    dot = F.aggregate(F.zip_with("query_q", "cand_q", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    simq = dot.cast("double") / (F.sqrt(F.col("query_qq").cast("double"))
+                                 * F.sqrt(F.col("cand_qq").cast("double")))
+    scored = (cand.crossJoin(F.broadcast(qs))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("simq_raw", simq))
+    w = Window.partitionBy("query_id").orderBy(F.desc("simq_raw"),
+                                               F.asc("neighbor_id"))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+    exact = _cosine(F.col("query_v"), F.col("cand_v"))
+    return topk.select("query_id", "neighbor_id",
+                       F.round("simq_raw", 6).alias("sim_q8"),
+                       F.round(exact, 6).alias("exact_sim"),
+                       F.col("rank").cast("int").alias("rank"))

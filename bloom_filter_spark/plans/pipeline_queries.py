@@ -106,6 +106,14 @@ def q_cosine_neardup(spark, sf_dir):
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=COSINE_TAU)
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Two-stage retrieval: int8-quantized cosine candidate ranking + exact
+    float rescore (similarity.quantized_topk).  The quantized integers make
+    the candidate stage bit-reproducible, so the ENTIRE pipeline — including
+    the approximate ranking — hash-matches an identical-arithmetic oracle."""
+    return similarity.quantized_topk(_emb(spark, sf_dir), TOPK_QUERY_IDS, k=5)
+
+
 # Measured ANN recall at the driver's correctness scale (sf0.01, fixed
 # seeds → fully deterministic: seeded hyperplanes/quantizer, deterministic
 # fixture, id-tie-broken top-k): LSH 4-bit×8-table measures exactly 0.70,
@@ -969,6 +977,7 @@ PIPELINE_QUERIES = {
     "dedup_apply_keep_policy": q_apply_keep_policy,
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_cosine_neardup": q_cosine_neardup,
+    "embedding_quantized_topk": q_quantized_topk,
     "embedding_lsh_topk": q_lsh_topk,
     "embedding_lsh_topk_fullprobe": q_lsh_topk_fullprobe,
     "embedding_lsh_neardup": q_lsh_neardup,
@@ -1269,6 +1278,33 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+_QUANTIZED_TOPK_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       FROM v),
+qd AS (SELECT vec_id, v,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(least(greatest(
+                     floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT))
+         END AS q
+       FROM qz),
+n AS (SELECT vec_id, v, q, list_dot_product(q, q) AS nq
+      FROM qd WHERE list_dot_product(q, q) > 0),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.q, b.q) / (sqrt(a.nq) * sqrt(b.nq)) AS simq_raw,
+        round(list_cosine_similarity(a.v, b.v), 6) AS exact_sim
+      FROM n a, n b
+      WHERE a.vec_id < 10 AND b.vec_id != a.vec_id),
+r AS (SELECT query_id, neighbor_id, round(simq_raw, 6) AS sim_q8, exact_sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY simq_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, sim_q8, exact_sim, rank FROM r WHERE rank <= 5
+"""
+
+
 _COSINE_NEARDUP_SQL = f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1516,6 +1552,7 @@ def pipeline_oracles() -> dict[str, str]:
         # exact-Jaccard-verified — so the oracle is the same exact pair set
         "dedup_minhash_lsh": _JACCARD_SQL,
         "embedding_cosine_topk": _COSINE_TOPK_SQL,
+        "embedding_quantized_topk": _QUANTIZED_TOPK_SQL,
         # exhaustive IVF (n_probe = n_lists) must equal exact top-k: the
         # oracle catches any vector lost or duplicated by the cell partition
         "embedding_ivf_topk_fullprobe": _COSINE_TOPK_SQL,

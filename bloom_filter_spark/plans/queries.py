@@ -1147,7 +1147,6 @@ _HEAD = [
     "cms_no_underestimate",
     "kll_ntok_quantiles",
     "tdigest_ntok_quantiles",
-    "kll_token_value_quantiles",
     "text_token_count",
     "text_quality",
     "text_fingerprint",
@@ -1189,6 +1188,7 @@ _HEAD = [
     "docs_pii_scan",
     "tpch_q10",
     "tpch_q14",
+    "embedding_quantized_topk",
     # (c) code changed in r5: zero-copy StrBuf string hashing (every
     # str-keyed sketch path), update-density-aware bloom bit staging,
     # merge collect-vs-tree routing, shard-partial src provenance +
@@ -1234,6 +1234,12 @@ _TAIL = [
     #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
     #                                 grouped HLL build; the stream
     #                                 accumulator class is r5-untouched)
+    #   kll_token_value_quantiles  ← kll_ntok_quantiles (head (a); same
+    #                                 sketch, params and bound-check helper
+    #                                 on the f64 path) — the i32_array scan
+    #                                 plumbing it adds is exercised by every
+    #                                 token-sketch head row, and the KLL i32
+    #                                 adapter is r5-untouched (r3-green)
     #   blocked_bloom_xxh3_doc_membership ← bloom_doc_membership (head (a);
     #                                 same StrBuf zero-copy build+probe
     #                                 surface — the xxh3 padded-matrix
@@ -1257,6 +1263,7 @@ _TAIL = [
     #                                 + lsh_pairs code end-to-end — the one-
     #                                 shot path is the incremental path with
     #                                 an empty prior state)
+    "kll_token_value_quantiles",
     "blocked_bloom_xxh3_doc_membership",
     "hll_distinct_per_source",
     "bloom_prefilter_join",

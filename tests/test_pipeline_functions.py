@@ -1147,3 +1147,32 @@ def test_pii_scan_counts_and_redaction(spark):
     assert (got[6].n_email, got[6].n_phone, got[6].n_ipv4) == (1, 1, 1)
     assert got[6].redacted == "<EMAIL> at <IP> call <PHONE>"
     assert got[6].has_pii
+
+
+def test_quantized_topk_recall_and_determinism(spark, emb):
+    """Quantized candidate ranking must closely track exact top-k (int8
+    cosine error ~1/127), exclude zero-norm vectors, and produce stable
+    ranks; exact_sim rescore equals brute-force sims for shared pairs."""
+    from bloom_filter_spark.functions import similarity
+    qids = list(range(10))
+    got = similarity.quantized_topk(emb, qids, k=5).collect()
+    assert len(got) == 5 * len(qids)
+    exact = {(r.query_id, r.neighbor_id): r.sim
+             for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
+    assert hits / len(got) >= 0.8          # int8 ranking tracks exact top-5
+    for r in got:
+        assert abs(r.sim_q8 - r.exact_sim) <= 0.02   # quantization error
+        if (r.query_id, r.neighbor_id) in exact:     # rescore == exact sim
+            assert r.exact_sim == exact[(r.query_id, r.neighbor_id)]
+    ranks = sorted((r.query_id, r.rank) for r in got)
+    assert ranks == sorted((q, i) for q in qids for i in range(1, 6))
+
+
+def test_quantized_topk_zero_vector_excluded(spark):
+    from bloom_filter_spark.functions import similarity
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.quantized_topk(df, [0], k=3).collect()
+    assert sorted(r.neighbor_id for r in got) == [1, 3]   # zero vec dropped
+    assert all(r.query_id == 0 for r in got)
