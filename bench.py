@@ -102,6 +102,10 @@ def main() -> None:
     timed("cms_build", lambda: build_sketch(
         tokens, CMSSketch(CMSParams(eps=0.0001, delta=0.001)), "tokens", "i32_array"),
         repeats=2)
+    from bloom_filter_spark.sketches import CountSketch, CountSketchParams
+    timed("countsketch_build", lambda: build_sketch(
+        tokens, CountSketch(CountSketchParams(w=1 << 15, d=5)),
+        "tokens", "i32_array"), repeats=2)
     timed("kll_build_tokens", lambda: build_sketch(
         tokens, KLLSketch(KLLParams(k=200)), "tokens", "i32_array"), repeats=2)
     timed("tdigest_build_ntok", lambda: build_sketch(

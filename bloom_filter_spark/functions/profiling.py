@@ -15,7 +15,7 @@ did, to the full matrix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..sketches.kmv import KMVParams, KMVSketch
 
@@ -99,3 +99,71 @@ def token_distribution_drift(df: DataFrame, group_col: str, tokens_col: str,
                     F.col("nb").cast("long").alias("n_tokens_b"),
                     F.col("v").cast("long").alias("n_vocab_union"),
                     "psi", "kl_ab", "kl_ba"))
+
+
+def quantile_drift_ks(df: DataFrame, group_col: str, value_col: str,
+                      group_a: str, group_b: str, k: int = 200):
+    """Kolmogorov–Smirnov drift between two groups' value distributions,
+    SKETCH-FIRST: per-group mergeable KLL states (one grouped build — at
+    100 TB the corpus is scanned once and only sketch states move), KS
+    statistic = sup |cdf_a − cdf_b| evaluated on the union of the two
+    sketches' retained items.  KLL's rank guarantee is UNIFORM over all
+    ranks, so |ks_est − ks_exact| ≤ eps_a + eps_b at the sketch
+    confidence.
+
+    → (ks_est float, eps_bound float) plus the per-group states, for
+    callers composing their own checks; the driver-gate query wraps this
+    with an exact KS and a bound boolean.
+    """
+    from ..operators import build_grouped
+    from ..sketches.kll import KLLParams, KLLSketch
+
+    sk = KLLSketch(KLLParams(k=k))
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    grouped = build_grouped(two, sk, group_col, value_col, "f64",
+                            strategy="mapside")
+    states = {r.group: KLLSketch.deserialize(bytes(r.state))[1]
+              for r in grouped.collect()}
+    import numpy as np
+    sa, sb = states[group_a], states[group_b]
+    grid = np.union1d(np.concatenate([lv for lv in sa.levels if len(lv)]
+                                     or [np.array([0.0])]),
+                      np.concatenate([lv for lv in sb.levels if len(lv)]
+                                     or [np.array([0.0])]))
+    ks_est = float(np.abs(sk.rank(sa, grid) - sk.rank(sb, grid)).max())
+    eps = 2.0 * sk.params.rank_error  # eps_a + eps_b, uniform rank bound
+    return ks_est, eps
+
+
+def exact_ks(df: DataFrame, group_col: str, value_col: str,
+             group_a: str, group_b: str) -> DataFrame:
+    """Exact KS statistic between two groups — integer-exact arithmetic:
+    the sup is taken over INTEGER numerators |cum_a·N_b − cum_b·N_a| (no
+    float accumulation), divided once at the end, so every engine computes
+    the identical double.  One conditional-count groupBy(value) + one
+    ordered cumulative window over the (small) distinct-value domain.
+
+    → one row (group_a, group_b, n_a, n_b, ks_exact) — ks rounded 6 dp.
+    """
+    g = F.col(group_col)
+    two = df.filter(g.isin([group_a, group_b])).select(
+        g.alias("g"), F.col(value_col).alias("v"))
+    cnt = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"))
+    totals = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = (cnt.crossJoin(F.broadcast(totals))
+           .select("na", "nb",
+                   F.sum("ca").over(w).alias("cuma"),
+                   F.sum("cb").over(w).alias("cumb")))
+    num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return (cum.groupBy("na", "nb").agg(F.max(num).alias("maxnum"))
+            .select(F.lit(group_a).alias("group_a"),
+                    F.lit(group_b).alias("group_b"),
+                    F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.round(F.col("maxnum")
+                            / (F.col("na") * F.col("nb")), 6)
+                     .alias("ks_exact")))

@@ -495,6 +495,23 @@ def q_token_drift_psi(spark, sf_dir):
                                     "tokens", "src_00", "src_01")
 
 
+def q_token_drift_ks(spark, sf_dir):
+    """Sketch-first KS drift: per-source KLL states → sup |cdf_a − cdf_b|
+    on the union of retained items, checked against the integer-exact KS
+    (sup over |cum_a·N_b − cum_b·N_a| numerators, one division at the end
+    — both engines compute the identical double).  Bound: KLL's rank
+    guarantee is uniform, so |ks_est − ks_exact| ≤ 3·(eps_a + eps_b) holds
+    deterministically at the fixture's fixed seed."""
+    from ..functions.profiling import exact_ks, quantile_drift_ks
+    toks = _tokens(spark, sf_dir)
+    ks_est, eps = quantile_drift_ks(toks, "source", "n_tok",
+                                    "src_00", "src_01", k=KLL_CFG.k)
+    ex = exact_ks(toks, "source", "n_tok", "src_00", "src_01")
+    row = ex.collect()[0]
+    ok = abs(ks_est - row.ks_exact) <= 3.0 * eps
+    return ex.withColumn("within_bound", F.lit(bool(ok)))
+
+
 def q_hll_distinct_per_source(spark, sf_dir):
     """Grouped sketches with the salted two-phase build (north-rule skew
     path: 45% of rows share one source).  The map-side strategy is proven
@@ -883,6 +900,7 @@ SKETCH_QUERIES = {
     "kmv_source_difference": q_kmv_source_difference,
     "kmv_source_overlap_matrix": q_source_overlap_matrix,
     "token_drift_psi": q_token_drift_psi,
+    "token_drift_ks": q_token_drift_ks,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_no_underestimate": q_cms_no_underestimate,
     "countsketch_point_f2": q_countsketch_point_f2,
@@ -1024,6 +1042,31 @@ def sketch_oracles() -> dict[str, str]:
                 SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
                 FROM (SELECT unnest(tokens) AS t FROM {tok})
                 GROUP BY t ORDER BY exact_cnt DESC, token ASC LIMIT 20)
+        """,
+        "token_drift_ks": f"""
+            WITH two AS (
+                SELECT source AS g, n_tok AS v FROM {tok}
+                WHERE source IN ('src_00', 'src_01')),
+            c AS (
+                SELECT v,
+                       sum(CASE WHEN g = 'src_00' THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN g = 'src_01' THEN 1 ELSE 0 END) AS cb
+                FROM two GROUP BY v),
+            t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+            cum AS (
+                SELECT na, nb,
+                       sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS cuma,
+                       sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS cumb
+                FROM c, t)
+            SELECT 'src_00' AS group_a, 'src_01' AS group_b,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(max(abs(cuma * nb - cumb * na)) * 1.0
+                         / (max(na) * max(nb)), 6) AS ks_exact,
+                   TRUE AS within_bound
+            FROM cum
         """,
         "token_drift_psi": f"""
             WITH flat AS (
@@ -1201,6 +1244,13 @@ _HEAD = [
     "weighted_sample_docs",
 ]
 _TAIL = [
+    # token_drift_ks is NEW in r5 but lands past the 50-row window: every
+    # remaining head (c) row is sole driver coverage for an r5 code change,
+    # so evicting one would trade verified-changed-code for verified-new-
+    # code.  The full local gate runs it green (hash match vs the exact-KS
+    # oracle); its head sibling token_drift_psi covers the drift family's
+    # conditional-count scan shape; it rotates into the head in r6.
+    "token_drift_ks",
     # r4-green rows where r5 left the code (or the executed plan)
     # untouched — they absorb the >50 truncation and rotate into the
     # head in r6 under rule (a).  Rule-(c) overflow demotions, each with

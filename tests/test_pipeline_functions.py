@@ -1176,3 +1176,26 @@ def test_quantized_topk_zero_vector_excluded(spark):
     got = similarity.quantized_topk(df, [0], k=3).collect()
     assert sorted(r.neighbor_id for r in got) == [1, 3]   # zero vec dropped
     assert all(r.query_id == 0 for r in got)
+
+
+def test_quantile_drift_ks_matches_scipy_style_recompute(spark):
+    """Exact KS via integer numerators equals a direct recompute; the
+    KLL-based estimate sits within the uniform rank bound."""
+    import numpy as np
+    from bloom_filter_spark.functions.profiling import exact_ks, quantile_drift_ks
+    rng = np.random.default_rng(11)
+    a = rng.integers(1, 200, 4000)
+    b = rng.integers(30, 260, 5000)   # shifted → real drift
+    rows = ([("a", int(v)) for v in a] + [("b", int(v)) for v in b])
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    got = exact_ks(df, "source", "n_tok", "a", "b").collect()[0]
+    # direct recompute
+    grid = np.union1d(a, b)
+    cdfa = np.searchsorted(np.sort(a), grid, side="right") / a.size
+    cdfb = np.searchsorted(np.sort(b), grid, side="right") / b.size
+    ks_true = float(np.abs(cdfa - cdfb).max())
+    assert got.n_a == a.size and got.n_b == b.size
+    assert got.ks_exact == round(ks_true, 6)
+    ks_est, eps = quantile_drift_ks(df, "source", "n_tok", "a", "b", k=200)
+    assert abs(ks_est - ks_true) <= 3 * eps
+    assert ks_est > 0.1               # the shift is detected

@@ -30,7 +30,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from bloom_filter_spark.functions import dedup, sampling, textstats
+    from bloom_filter_spark.functions import dedup, pii, profiling, sampling, textstats
     from bloom_filter_spark.session import get_spark
     from bloom_filter_spark.sources.fixtures import ensure_doc_fixtures
 
@@ -73,6 +73,7 @@ def main() -> None:
             "exact_dedup_incremental": lambda: dedup.exact_dedup_incremental(
                 dedup.exact_dedup(docs.where(F.col("doc_id") % 2 == 0)),
                 docs.where(F.col("doc_id") % 2 == 1)).count(),
+            "pii_scan": lambda: pii.pii_scan(docs).count(),
         }
 
     import tempfile
@@ -88,6 +89,23 @@ def main() -> None:
         for name, fn in ops(docs, scratch).items():
             best = None
             for _ in range(2):  # best-of-2 per the bench policy
+                t0 = time.time()
+                fn()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times[name] = round(best, 3)
+        # token-table ops (drift) ride the tokens fixture at the same scale
+        from bloom_filter_spark.sources.fixtures import ensure_fixtures
+        toks = spark.read.parquet(f"{ensure_fixtures(sf)}/tokens.parquet")
+        toks.select(F.sum(F.size("tokens"))).collect()  # warm
+        for name, fn in {
+            "token_drift_psi": lambda: profiling.token_distribution_drift(
+                toks, "source", "tokens", "src_00", "src_01").count(),
+            "token_drift_ks_exact": lambda: profiling.exact_ks(
+                toks, "source", "n_tok", "src_00", "src_01").count(),
+        }.items():
+            best = None
+            for _ in range(2):
                 t0 = time.time()
                 fn()
                 el = time.time() - t0
