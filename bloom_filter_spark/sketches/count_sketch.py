@@ -96,15 +96,35 @@ class CountSketch:
         return 1 - 2 * ((mixed >> np.uint64(31)) & np.uint64(1)).astype(np.int64)
 
     def _update(self, state, values, kind, weights=None) -> None:
+        """One fused pass for all d rows: bucket index and sign bit are
+        combined into a single flat bin id (row j, sign s, bucket b) →
+        j·2w + s·w + b, counted with ONE unweighted integer bincount —
+        no per-row float accumulation, no ±1 multiply for the unit-weight
+        case.  Produces bit-identical counters to the per-row reference
+        loop (pytest pins merge/serde/point equality)."""
         h, hs = self._hashes(values, kind)
         p = self.params
-        w = (np.ones(h.size, np.int64) if weights is None
-             else np.asarray(weights, np.int64))
-        for j in range(p.d):
-            idx = self._row(h, j, p.w)
-            sw = self._signs(hs, j) * w
-            state[j] += np.bincount(idx, weights=sw,
-                                    minlength=p.w).astype(np.int64)
+        if h.size == 0:
+            return
+        h1, h2 = hashing.split_h1_h2(h)
+        s1, s2 = hashing.split_h1_h2(hs)
+        wv = None if weights is None else np.asarray(weights, np.int64)
+        uw = np.uint64(p.w)
+        with np.errstate(over="ignore"):
+            for row in range(p.d):
+                uj = np.uint64(row)
+                bucket = (h1 + uj * h2) % uw
+                sbit = ((s1 + uj * s2) >> np.uint64(31)) & np.uint64(1)
+                if wv is None:
+                    comb = (bucket + uw * sbit).astype(np.int64)
+                    c = np.bincount(comb, minlength=2 * p.w)
+                    state[row] += c[:p.w]
+                    state[row] -= c[p.w:]
+                else:
+                    sw = (1 - 2 * sbit.astype(np.int64)) * wv
+                    state[row] += np.bincount(
+                        bucket.astype(np.int64), weights=sw,
+                        minlength=p.w).astype(np.int64)
 
     def update_i32(self, state, values, weights=None) -> None:
         self._update(state, values, "i32", weights)
