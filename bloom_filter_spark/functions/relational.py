@@ -374,3 +374,310 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("c_custkey", "c_name", "n_name",
                     F.round("c_acctbal", 2).alias("c_acctbal"), "revenue"))
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade revenue between two
+    nations by ship year.  The supplier and customer nation dimensions are
+    tiny — both broadcast; the cross-pair predicate ((A,B) or (B,A)) is a
+    join filter on broadcast rows, so the two fact joins stay equi-joins
+    and the big lineitem side never shuffles for the nation logic."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_0", "NATION_1")
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation.where(pair)),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(nation.where(pair)),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: for one region's customers and one
+    part type, the share of yearly revenue supplied by one nation.
+
+    Plan shape: region→nation→customer is a broadcast dimension chain, the
+    filtered part slice broadcasts, and both CASE branches of the share
+    aggregate in ONE pass (no self-join).  Numerator and denominator are
+    rounded independently before the division so every engine derives the
+    identical 6-dp share."""
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust_nations = (nation.join(F.broadcast(region),
+                                F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select("n_nationkey"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(cust_nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1998-01-01")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tgt = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(tgt), 4).alias("nation_volume"),
+                 F.round(F.sum(vol), 4).alias("total_volume"))
+            .select("o_year", "nation_volume", "total_volume",
+                    F.round(F.col("nation_volume")
+                            / F.col("total_volume"), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-adapted product-type profit (this schema has no partsupp,
+    so profit is gross revenue l_extendedprice·(1−l_discount) rather than
+    revenue minus supplycost·quantity): per supplier nation × order year
+    over parts whose name contains one token.
+
+    Plan shape: the part slice (name LIKE) and the supplier→nation chain
+    broadcast; lineitem joins orders on the fact key only; one hash agg on
+    (nation, year)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_name").contains("widget"))
+            .select("p_partkey"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_profit"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-adapted shipping-delay analysis (no l_shipmode/commit/
+    receipt dates in this schema): lineitems shipped in one year bucketed
+    by order→ship delay, counting high- vs low-priority orders per bucket
+    — Q12's CASE-sum shape over an adapted dimension.
+
+    Plan shape: both CASE branches aggregate in one pass; the only
+    shuffle is the 3-bucket hash agg; the order side projects two narrow
+    columns and AQE broadcasts the filtered year slice when small."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01")))
+          .select("l_orderkey", "l_shipdate"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(delay <= 30, "0-30d")
+              .when(delay <= 90, "31-90d").otherwise("90d+"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(bucket.alias("delay_bucket"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                  .alias("high_priority_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                  .alias("low_priority_count"))
+            .orderBy("delay_bucket"))
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join
+    customer→orders (with an order-side predicate, so customers with no
+    qualifying orders count as 0), then the distribution of customers per
+    order count.
+
+    Plan shape: outer join on c_custkey (null-safe count via counting the
+    join key, not *), two hash aggs — the second over the tiny count
+    domain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderstatus") != "P")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue over one quarter, then
+    the supplier(s) achieving the maximum.  Revenue is rounded BEFORE the
+    max comparison so the equality join is engine-deterministic.
+
+    Plan shape: one hash agg on l_suppkey, a single-row global max
+    broadcast back (no window over an unpartitioned frame), supplier dim
+    broadcast for the name lookup."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                 .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name")
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == F.col("max_revenue"))
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-adapted supplier diversity per part profile (no partsupp
+    table — the observed lineitem (partkey, suppkey) pairs stand in for
+    the part-supplier relation): distinct supplier count per
+    (brand, type, size) for parts outside one brand/type, sizes in a
+    fixed list.
+
+    Plan shape: the part predicate prunes at the scan (isin → IN
+    PushedFilter), the filtered part dim broadcasts into the fact join,
+    and the distinct-aggregate runs as Spark's two-phase
+    (partial-distinct, final) expand — no row explosion."""
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where((F.col("p_brand") != "Brand#1")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                  .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds a threshold, with customer context, top-100 by total price.
+    Quantities are integral doubles so the sum and threshold compare are
+    exact in both engines.
+
+    Plan shape: the quantity filter runs on the ORDER-side aggregate
+    before any dimension join (the classic Q18 semi-join reduction — only
+    qualifying orderkeys reach the join), customer dim broadcasts, and
+    the top-100 is TakeOrderedAndProject with a key tiebreak."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 200))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name")
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "sum_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under a disjunction of brand/size/
+    quantity envelopes — the predicate-pushdown stress case: each OR arm
+    pairs part attributes with lineitem ranges.
+
+    Plan shape: the part attributes needed by the disjunction ride a
+    broadcast join; the combined OR filter evaluates post-join inside
+    whole-stage codegen (one pass, no union-of-three-scans); the lineitem
+    scan still prunes to the three needed columns."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    qty = F.col("l_quantity")
+    arm1 = ((F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15) & qty.between(1, 11))
+    arm2 = ((F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25) & qty.between(10, 20))
+    arm3 = ((F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35) & qty.between(20, 30))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .where(arm1 | arm2 | arm3)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items")))
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-adapted global sales opportunity (no c_phone — market
+    segment stands in for the country-code prefix): customers in three
+    segments with above-average positive account balance and NO orders
+    after a cutoff, counted per segment.
+
+    Plan shape: the scalar avg is a single-row broadcast (crossJoin), the
+    "no recent orders" predicate is a LEFT ANTI join on the filtered
+    order slice, one final tiny hash agg.  The avg threshold is rounded
+    to 4 dp before the compare (balances have 2 dp, so the comparison is
+    engine-exact)."""
+    segs = ("AUTOMOBILE", "MACHINERY", "HOUSEHOLD")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment").isin(*segs))
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    thr = (cust.where(F.col("c_acctbal") > 0.0)
+           .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate") >= F.lit("1999-01-01"))
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(thr))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("c_mktsegment"))

@@ -783,6 +783,46 @@ def q_tpch_q14(spark, sf_dir):
     return relational.tpch_q14(spark, sf_dir)
 
 
+def q_tpch_q7(spark, sf_dir):
+    return relational.tpch_q7(spark, sf_dir)
+
+
+def q_tpch_q8(spark, sf_dir):
+    return relational.tpch_q8(spark, sf_dir)
+
+
+def q_tpch_q9(spark, sf_dir):
+    return relational.tpch_q9(spark, sf_dir)
+
+
+def q_tpch_q12(spark, sf_dir):
+    return relational.tpch_q12(spark, sf_dir)
+
+
+def q_tpch_q13(spark, sf_dir):
+    return relational.tpch_q13(spark, sf_dir)
+
+
+def q_tpch_q15(spark, sf_dir):
+    return relational.tpch_q15(spark, sf_dir)
+
+
+def q_tpch_q16(spark, sf_dir):
+    return relational.tpch_q16(spark, sf_dir)
+
+
+def q_tpch_q18(spark, sf_dir):
+    return relational.tpch_q18(spark, sf_dir)
+
+
+def q_tpch_q19(spark, sf_dir):
+    return relational.tpch_q19(spark, sf_dir)
+
+
+def q_tpch_q22(spark, sf_dir):
+    return relational.tpch_q22(spark, sf_dir)
+
+
 def q_top_customer_per_nation(spark, sf_dir):
     return relational.top_customer_per_nation(spark, sf_dir)
 
@@ -1021,6 +1061,16 @@ PIPELINE_QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
     "event_type_stats": q_event_type_stats,
@@ -1812,6 +1862,152 @@ def pipeline_oracles() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= '1996-01-01'
               AND l.l_shipdate < '1996-02-01'
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+              AND n2.n_name IN ('NATION_0', 'NATION_1')
+              AND n1.n_name <> n2.n_name
+              AND l.l_shipdate >= '1996-01-01'
+              AND l.l_shipdate < '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            WITH agg AS (
+              SELECT year(o.o_orderdate) AS o_year,
+                     round(sum(CASE WHEN ns.n_name = 'NATION_2'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0.0 END), 4) AS nation_volume,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                         AS total_volume
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+                AND o.o_orderdate >= '1996-01-01'
+                AND o.o_orderdate < '1998-01-01'
+              GROUP BY 1)
+            SELECT o_year, nation_volume, total_volume,
+                   round(nation_volume / total_volume, 6) AS mkt_share
+            FROM agg
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS sum_profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q12": """
+            SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+                             <= 30 THEN '0-30d'
+                        WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+                             <= 90 THEN '31-90d'
+                        ELSE '90d+' END AS delay_bucket,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_priority_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_priority_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1997-01-01'
+              AND l.l_shipdate < '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c
+                  LEFT OUTER JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                   AND o.o_orderstatus <> 'P'
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                         AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01'
+                AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q18": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 200) b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            WITH cust AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+              WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY',
+                                     'HOUSEHOLD')),
+            thr AS (SELECT round(avg(c_acctbal), 4) AS avg_bal
+                    FROM cust WHERE c_acctbal > 0.0)
+            SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM cust c, thr
+            WHERE c.c_acctbal > thr.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= '1999-01-01')
+            GROUP BY c.c_mktsegment
         """,
         "tpch_q17": """
             WITH f AS (

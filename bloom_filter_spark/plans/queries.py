@@ -1251,6 +1251,24 @@ _TAIL = [
     # oracle); its head sibling token_drift_psi covers the drift family's
     # conditional-count scan shape; it rotates into the head in r6.
     "token_drift_ks",
+    # tpch_q7..q22 are NEW in r5 but land past the 50-row window under the
+    # same rationale as token_drift_ks: every remaining head row is sole
+    # driver coverage for an r5 code change or a stale-rotation slot.  All
+    # ten are stock-Spark relational plans (append-only additions — no
+    # shared engine code changed), each hash-matched against its exact
+    # DuckDB oracle in the full local gate; head siblings tpch_q4/q5/q10/
+    # q14/q17 cover the relational join/agg/window shapes end-to-end.
+    # They rotate into the head in r6.
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     # r4-green rows where r5 left the code (or the executed plan)
     # untouched — they absorb the >50 truncation and rotate into the
     # head in r6 under rule (a).  Rule-(c) overflow demotions, each with

@@ -94,3 +94,49 @@ def test_tpch_q10_broadcast_dimension_chain(spark):
     assert p.count("BroadcastHashJoin") >= 2      # customer and nation
     assert "EqualTo(l_returnflag,R)" in p          # pushed to the scan
     assert "TakeOrderedAndProject" in p            # top-20, no global sort
+
+
+def test_tpch_q7_broadcast_nation_pair(spark):
+    """Q7: both nation-filtered dims broadcast; the fact side never
+    shuffles for the nation logic; date range pushed to the scan."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q7(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastHashJoin") >= 2       # supp and cust dims
+    assert "GreaterThanOrEqual(l_shipdate" in p    # pushed date filter
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q18_semijoin_reduction_and_topk(spark):
+    """Q18: the quantity threshold runs on the order-side aggregate
+    before any dimension join, and the top-100 is TakeOrderedAndProject
+    (no global sort of the joined rows)."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q18(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in p
+    # the sum(l_quantity) > 200 filter sits above a HashAggregate, below
+    # the joins: there is exactly one aggregate on sum_qty and the filter
+    # references it
+    assert "sum_qty" in p and "200" in p
+    assert p.count("HashAggregate") >= 2           # partial + final
+
+
+def test_tpch_q19_disjunction_single_pass(spark):
+    """Q19: the OR-of-envelopes evaluates post-join in one codegen pass —
+    no union of three scans (exactly one lineitem scan) and the part dim
+    broadcasts."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q19(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q22_anti_join(spark):
+    """Q22: the "no recent orders" predicate is a broadcast anti join and
+    the scalar threshold is a broadcast nested loop over one row — the
+    customer side is scanned once."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q22(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in p
+    assert p.count("customer.parquet") == 2        # cust slice + threshold
+    assert "GreaterThanOrEqual(o_orderdate" in p   # pushed order filter
