@@ -33,6 +33,7 @@ _HEADER_LEN = {
     "mg": 4,              # u32 k (n/offset follow, may differ)
     "reservoir": 12,      # u32 k | u64 seed
     "kmv": 12,            # u32 k | u64 seed (count follows, may differ)
+    "ddsketch": 20,       # f64 alpha | u32 max_bins | f64 min_value
 }
 
 

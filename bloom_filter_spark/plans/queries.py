@@ -26,7 +26,7 @@ from ..operators import (
 from ..sketches import (
     BlockedBloomParams, BlockedBloomSketch, BloomParams, BloomSketch,
     CMSParams, CMSSketch, CountSketch, CountSketchParams,
-    CuckooFilter, CuckooParams,
+    CuckooFilter, CuckooParams, DDSketch, DDSketchParams,
     HLLParams, HLLSketch, KLLParams, KLLSketch,
     TDigestParams, TDigestSketch,
 )
@@ -42,6 +42,7 @@ CMS_CFG = CMSParams(eps=0.0001, delta=0.001)
 CS_CFG = CountSketchParams(w=1 << 15, d=5)
 KLL_CFG = KLLParams(k=200)
 TD_CFG = TDigestParams(compression=200)
+DD_CFG = DDSketchParams(alpha=0.01)
 QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 _BLOB_CACHE: dict[tuple, tuple] = {}
@@ -85,6 +86,8 @@ def _blob(spark, sf_dir, kind: str):
         out = build_sketch(toks, KLLSketch(KLL_CFG), "n_tok", "f64")
     elif kind == "td_ntok":
         out = build_sketch(toks, TDigestSketch(TD_CFG), "n_tok", "f64")
+    elif kind == "dd_ntok":
+        out = build_sketch(toks, DDSketch(DD_CFG), "n_tok", "f64")
     elif kind == "kll_tokens":
         out = build_sketch(toks, KLLSketch(KLL_CFG), "tokens", "i32_array")
     else:
@@ -626,6 +629,35 @@ def q_tdigest_ntok_quantiles(spark, sf_dir):
     return _quantile_bound_check(spark, sf_dir, "td_ntok", sk, "n_tok", 0.02)
 
 
+def q_ddsketch_ntok_quantiles(spark, sf_dir):
+    """DDSketch VALUE-relative quantile guarantee (vs KLL/t-digest's rank
+    bounds): est(q) is within α relative error of the true ⌊q·(n−1)⌋-rank
+    order statistic.  Checked distributed, no sort: x_q lies in
+    [est/(1+α'), est/(1−α')]  ⟺  count(v < est/(1+α')) ≤ r  AND
+    count(v ≤ est/(1−α')) ≥ r+1 — one conditional-aggregation scan.
+    The blob comes from the standard partials→merge build; DDSketch merges
+    are BIT-identical under any order (no RNG), so the distributed state
+    equals a local build exactly (pytest-pinned)."""
+    _, state = DDSketch.deserialize(_blob(spark, sf_dir, "dd_ntok")[0])
+    sk = DDSketch(DD_CFG)
+    est = sk.quantiles(state, QS)
+    n = state.n
+    alpha = DD_CFG.alpha * (1 + 1e-9) + 1e-12
+    vals = _tokens(spark, sf_dir).select(F.col("n_tok").alias("v"))
+    aggs = []
+    for i, e in enumerate(est):
+        lo, hi = float(e) / (1 + alpha), float(e) / (1 - alpha)
+        aggs.append(F.sum((F.col("v") < lo).cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("v") <= hi).cast("long")).alias(f"le{i}"))
+    row = vals.agg(*aggs).collect()[0]
+    out = []
+    for i, q in enumerate(QS):
+        r = int(np.floor(q * (n - 1)))
+        out.append((float(q),
+                    bool(row[f"lt{i}"] <= r and row[f"le{i}"] >= r + 1)))
+    return spark.createDataFrame(out, "q double, within_bound boolean")
+
+
 def q_kll_token_value_quantiles(spark, sf_dir):
     """Quantiles of the flat token-value stream — zipfian with huge point
     masses; exercises the rank-interval form of the guarantee."""
@@ -906,6 +938,7 @@ SKETCH_QUERIES = {
     "countsketch_point_f2": q_countsketch_point_f2,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
+    "ddsketch_ntok_quantiles": q_ddsketch_ntok_quantiles,
     "kll_token_value_quantiles": q_kll_token_value_quantiles,
     "kll_grouped_quantiles_per_source": q_kll_grouped_quantiles,
     "bloom_checkpoint_resume": q_bloom_checkpoint_resume,
@@ -1115,6 +1148,7 @@ def sketch_oracles() -> dict[str, str]:
             CROSS JOIN (VALUES {qs_rows}) t(q, within_bound)
         """,
         "tdigest_ntok_quantiles": qb_sql,
+        "ddsketch_ntok_quantiles": qb_sql,
         "kll_token_value_quantiles": qb_sql,
         "bloom_checkpoint_resume": f"""
             SELECT TRUE AS resume_equals_direct,
@@ -1269,6 +1303,12 @@ _TAIL = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    # ddsketch_ntok_quantiles: NEW in r5, same overflow rationale; head
+    # siblings kll_ntok_quantiles / tdigest_ntok_quantiles cover the f64
+    # build + bound-check shape; the DDSketch kernel itself is pinned by
+    # kernel pytests (α bound, merge bit-parity, serde) and the full local
+    # gate runs it green.  Rotates into the head in r6.
+    "ddsketch_ntok_quantiles",
     # r4-green rows where r5 left the code (or the executed plan)
     # untouched — they absorb the >50 truncation and rotate into the
     # head in r6 under rule (a).  Rule-(c) overflow demotions, each with

@@ -20,3 +20,4 @@ from .misra_gries import MGParams, MGSketch  # noqa: F401
 from .reservoir import ReservoirParams, ReservoirSketch  # noqa: F401
 from .kmv import KMVParams, KMVSketch, KMVState  # noqa: F401
 from .count_sketch import CountSketchParams, CountSketch  # noqa: F401
+from .ddsketch import DDSketchParams, DDSketch, DDState  # noqa: F401
