@@ -681,3 +681,159 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("c_mktsegment"))
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-adapted minimum-cost supplier (this schema has no partsupp,
+    so the part-supplier cost relation is DERIVED from lineitem: unit cost
+    = min observed l_extendedprice / l_quantity per (part, supplier)): for
+    STANDARD parts of size ≤ 10, the supplier(s) in EUROPE matching the
+    part's global minimum unit cost — Q2's correlated-min subquery shape,
+    decorrelated into an aggregate + equality join.
+
+    Plan shape: the cost relation aggregates on (partkey, suppkey); the
+    per-part min reuses the same partkey partitioning (AQE-coalesced);
+    part slice and the supplier→nation→region chain broadcast.  The
+    min-cost equality join compares raw doubles — both sides derive from
+    the identical per-row division, and min is order-invariant, so the
+    compare is engine-exact (no rounding before the join)."""
+    cost = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_partkey", "l_suppkey",
+                    (F.col("l_extendedprice") / F.col("l_quantity"))
+                    .alias("uc"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("uc").alias("unit_cost")))
+    best = (cost.groupBy("l_partkey")
+            .agg(F.min("unit_cost").alias("best_cost"))
+            .withColumnRenamed("l_partkey", "b_partkey"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+            .select("p_partkey"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "s_acctbal",
+                    F.col("n_name").alias("nation")))
+    return (cost.join(best, (cost.l_partkey == best.b_partkey)
+                      & (cost.unit_cost == best.best_cost))
+            .drop("b_partkey")
+            .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                    "nation", "p_partkey",
+                    F.round("unit_cost", 4).alias("unit_cost"))
+            .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey"))
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-adapted important-stock identification (no partsupp: a
+    part's held value is the gross lineitem revenue routed through ASIA
+    suppliers): parts whose value exceeds 0.1% of the slice total —
+    Q11's HAVING-vs-scalar-subquery shape.
+
+    Plan shape: one hash agg on partkey over the supplier-slice semi-join
+    (supplier side broadcasts); the scalar total is a single-row broadcast
+    crossJoin.  Both compare operands are rounded to 4 dp first so the
+    threshold predicate is engine-exact (sums of ~10³ doubles carry
+    ~1e-8 association noise, far below the 5e-5 rounding boundary)."""
+    nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+              .where(F.col("n_regionkey") == 2).select("n_nationkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("raw_value")))
+    thr = val.agg(F.round(F.sum("raw_value") * 0.001, 4).alias("thr"))
+    return (val.crossJoin(F.broadcast(thr))
+            .where(F.round(F.col("raw_value"), 4) > F.col("thr"))
+            .select(F.col("l_partkey").alias("part_key"),
+                    F.round("raw_value", 4).alias("value"))
+            .orderBy(F.desc("value"), "part_key"))
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-adapted potential-promotion suppliers (no partsupp availqty:
+    the "holds excess stock" predicate becomes "shipped the majority"):
+    ASIA suppliers who in 1998 shipped MORE THAN HALF of some small-named
+    part's total 1998 quantity — Q20's nested-IN chain expressed as
+    aggregate → threshold join → semi-join.
+
+    Plan shape: the part-name slice broadcasts into the lineitem scan
+    (year predicate pushed down); share aggregation on (partkey, suppkey)
+    reuses its own partitioning for the per-part total; the final
+    supplier lookup is a broadcast semi-join.  l_quantity is integral in
+    this corpus so the double sums and the 0.5× compare are exact."""
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_name").startswith("small "))
+            .select("p_partkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate") >= F.lit("1998-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1999-01-01")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    shipped = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum("l_quantity").alias("qty")))
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("tot_qty"))
+    cand = (shipped.join(tot, "l_partkey")
+            .where(F.col("qty") > 0.5 * F.col("tot_qty"))
+            .select("l_suppkey").distinct())
+    nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+              .where(F.col("n_regionkey") == 2).select("n_nationkey"))
+    return (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(cand, F.col("s_suppkey") == cand.l_suppkey, "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_name"))
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-adapted suppliers-who-kept-orders-waiting (no commit/
+    receipt dates: "late" becomes "was the UNIQUE last shipper of a
+    multi-supplier finished order"): per supplier, the count of completed
+    ('F') orders with ≥ 2 suppliers where that supplier's latest shipment
+    IS the order's latest shipment and nobody ties — Q21's
+    EXISTS / NOT-EXISTS pair as window predicates.
+
+    Plan shape: the order-status slice broadcasts; the (order, supplier)
+    rollup, the per-order rollup, the at-max join and the tie-count
+    window all share the orderkey partitioning — one shuffle family; the
+    final per-supplier count is a 100-row agg with a broadcast name
+    lookup.  Timestamp max/equality is exact; ties are handled by the
+    n_at_max = 1 predicate, not float tolerance."""
+    fo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = (li.join(F.broadcast(fo), li.l_orderkey == fo.o_orderkey)
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("l_shipdate").alias("s_max")))
+    per_o = (per_os.groupBy("l_orderkey")
+             .agg(F.max("s_max").alias("o_max"),
+                  F.count("*").alias("n_supp")))
+    at_max = (per_os.join(per_o, (per_os.l_orderkey == per_o.l_orderkey)
+                          & (per_os.s_max == per_o.o_max))
+              .drop(per_o.l_orderkey)
+              .withColumn("n_at_max",
+                          F.count("*").over(
+                              Window.partitionBy("l_orderkey"))))
+    waiters = at_max.where((F.col("n_supp") >= 2)
+                           & (F.col("n_at_max") == 1))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name")
+    return (waiters.join(F.broadcast(supp),
+                         waiters.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name"))

@@ -823,6 +823,22 @@ def q_tpch_q22(spark, sf_dir):
     return relational.tpch_q22(spark, sf_dir)
 
 
+def q_tpch_q2(spark, sf_dir):
+    return relational.tpch_q2(spark, sf_dir)
+
+
+def q_tpch_q11(spark, sf_dir):
+    return relational.tpch_q11(spark, sf_dir)
+
+
+def q_tpch_q20(spark, sf_dir):
+    return relational.tpch_q20(spark, sf_dir)
+
+
+def q_tpch_q21(spark, sf_dir):
+    return relational.tpch_q21(spark, sf_dir)
+
+
 def q_top_customer_per_nation(spark, sf_dir):
     return relational.top_customer_per_nation(spark, sf_dir)
 
@@ -1071,6 +1087,10 @@ PIPELINE_QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionize": q_sessionize,
     "event_type_stats": q_event_type_stats,
@@ -2008,6 +2028,79 @@ def pipeline_oracles() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= '1999-01-01')
             GROUP BY c.c_mktsegment
+        """,
+        "tpch_q2": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2),
+            best AS (SELECT l_partkey, min(unit_cost) AS best_cost
+                     FROM cost GROUP BY 1)
+            SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name,
+                   n.n_name AS nation, p.p_partkey,
+                   round(c.unit_cost, 4) AS unit_cost
+            FROM cost c
+            JOIN best b ON c.l_partkey = b.l_partkey
+                       AND c.unit_cost = b.best_cost
+            JOIN part p ON c.l_partkey = p.p_partkey
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+              AND r.r_name = 'EUROPE'
+        """,
+        "tpch_q11": """
+            WITH val AS (
+              SELECT l.l_partkey,
+                     sum(l.l_extendedprice * (1 - l.l_discount)) AS raw_value
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = 2 GROUP BY 1)
+            SELECT l_partkey AS part_key, round(raw_value, 4) AS value
+            FROM val
+            WHERE round(raw_value, 4) >
+                  (SELECT round(sum(raw_value) * 0.001, 4) FROM val)
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small %'
+                AND l_shipdate >= '1998-01-01'
+                AND l_shipdate < '1999-01-01'
+              GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, sum(qty) AS tot_qty
+                    FROM shipped GROUP BY 1),
+            cand AS (SELECT DISTINCT s.l_suppkey
+                     FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+                     WHERE s.qty > 0.5 * t.tot_qty)
+            SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = 2
+              AND s.s_suppkey IN (SELECT l_suppkey FROM cand)
+        """,
+        "tpch_q21": """
+            WITH fo AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderstatus = 'F'),
+            per_os AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+              FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+              GROUP BY 1, 2),
+            per_o AS (SELECT l_orderkey, max(s_max) AS o_max,
+                             count(*) AS n_supp
+                      FROM per_os GROUP BY 1),
+            at_max AS (
+              SELECT p.l_orderkey, p.l_suppkey, o.n_supp,
+                     count(*) OVER (PARTITION BY p.l_orderkey) AS n_at_max
+              FROM per_os p
+              JOIN per_o o ON p.l_orderkey = o.l_orderkey
+                          AND p.s_max = o.o_max)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM at_max a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+            WHERE a.n_supp >= 2 AND a.n_at_max = 1
+            GROUP BY s.s_name
         """,
         "tpch_q17": """
             WITH f AS (

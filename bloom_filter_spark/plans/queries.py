@@ -1303,6 +1303,14 @@ _TAIL = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    # tpch_q2/q11/q20/q21 complete the 22-query suite late in r5 — same
+    # overflow rationale and the same stock-relational-plan head siblings;
+    # each is hash-matched against its exact DuckDB oracle in the full
+    # local gate.  They rotate into the head in r6.
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
     # ddsketch_ntok_quantiles: NEW in r5, same overflow rationale; head
     # siblings kll_ntok_quantiles / tdigest_ntok_quantiles cover the f64
     # build + bound-check shape; the DDSketch kernel itself is pinned by
