@@ -691,21 +691,24 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's global minimum unit cost — Q2's correlated-min subquery shape,
     decorrelated into an aggregate + equality join.
 
-    Plan shape: the cost relation aggregates on (partkey, suppkey); the
-    per-part min reuses the same partkey partitioning (AQE-coalesced);
-    part slice and the supplier→nation→region chain broadcast.  The
-    min-cost equality join compares raw doubles — both sides derive from
-    the identical per-row division, and min is order-invariant, so the
-    compare is engine-exact (no rounding before the join)."""
+    Plan shape: ONE lineitem scan — the per-part min is a window over the
+    (partkey, suppkey) aggregate keyed on partkey (a state-sized
+    re-exchange, never a fact rescan; the naive decorrelation aggregates
+    the fact table twice).  Part slice and the supplier→nation→region
+    chain broadcast.  The min-cost equality compares raw doubles — both
+    sides derive from the identical per-row division, and min is
+    order-invariant, so the compare is engine-exact (no rounding before
+    the predicate)."""
     cost = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .select("l_partkey", "l_suppkey",
                     (F.col("l_extendedprice") / F.col("l_quantity"))
                     .alias("uc"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.min("uc").alias("unit_cost")))
-    best = (cost.groupBy("l_partkey")
-            .agg(F.min("unit_cost").alias("best_cost"))
-            .withColumnRenamed("l_partkey", "b_partkey"))
+    best = (cost.withColumn(
+                "best_cost",
+                F.min("unit_cost").over(Window.partitionBy("l_partkey")))
+            .where(F.col("unit_cost") == F.col("best_cost")))
     part = (spark.read.parquet(f"{sf_dir}/part.parquet")
             .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
             .select("p_partkey"))
@@ -720,11 +723,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .select("s_suppkey", "s_name", "s_acctbal",
                     F.col("n_name").alias("nation")))
-    return (cost.join(best, (cost.l_partkey == best.b_partkey)
-                      & (cost.unit_cost == best.best_cost))
-            .drop("b_partkey")
-            .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
-            .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+    return (best
+            .join(F.broadcast(part), best.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
             .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
                     "nation", "p_partkey",
                     F.round("unit_cost", 4).alias("unit_cost"))
@@ -737,9 +738,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers): parts whose value exceeds 0.1% of the slice total —
     Q11's HAVING-vs-scalar-subquery shape.
 
-    Plan shape: one hash agg on partkey over the supplier-slice semi-join
-    (supplier side broadcasts); the scalar total is a single-row broadcast
-    crossJoin.  Both compare operands are rounded to 4 dp first so the
+    Plan shape: ONE lineitem scan — one hash agg on partkey over the
+    supplier-slice semi-join (supplier side broadcasts); the scalar total
+    is an unpartitioned window over the per-part AGGREGATE (#parts rows
+    gather on one task to attach the total — state-sized, never the fact
+    table; the crossJoin decorrelation would aggregate the fact table
+    twice).  Both compare operands are rounded to 4 dp first so the
     threshold predicate is engine-exact (sums of ~10³ doubles carry
     ~1e-8 association noise, far below the 5e-5 rounding boundary)."""
     nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -754,8 +758,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("raw_value")))
-    thr = val.agg(F.round(F.sum("raw_value") * 0.001, 4).alias("thr"))
-    return (val.crossJoin(F.broadcast(thr))
+    return (val.withColumn(
+                "thr",
+                F.round(F.sum("raw_value").over(
+                    Window.partitionBy()) * 0.001, 4))
             .where(F.round(F.col("raw_value"), 4) > F.col("thr"))
             .select(F.col("l_partkey").alias("part_key"),
                     F.round("raw_value", 4).alias("value"))
@@ -769,11 +775,12 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's total 1998 quantity — Q20's nested-IN chain expressed as
     aggregate → threshold join → semi-join.
 
-    Plan shape: the part-name slice broadcasts into the lineitem scan
-    (year predicate pushed down); share aggregation on (partkey, suppkey)
-    reuses its own partitioning for the per-part total; the final
-    supplier lookup is a broadcast semi-join.  l_quantity is integral in
-    this corpus so the double sums and the 0.5× compare are exact."""
+    Plan shape: ONE lineitem scan — the part-name slice broadcasts into
+    it (year predicate pushed down); the per-part total is a window over
+    the (partkey, suppkey) aggregate keyed on partkey (state-sized
+    re-exchange, not a fact rescan); the final supplier lookup is a
+    broadcast semi-join.  l_quantity is integral in this corpus so the
+    double sums and the 0.5× compare are exact."""
     part = (spark.read.parquet(f"{sf_dir}/part.parquet")
             .where(F.col("p_name").startswith("small "))
             .select("p_partkey"))
@@ -784,8 +791,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
                .groupBy("l_partkey", "l_suppkey")
                .agg(F.sum("l_quantity").alias("qty")))
-    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("tot_qty"))
-    cand = (shipped.join(tot, "l_partkey")
+    cand = (shipped.withColumn(
+                "tot_qty",
+                F.sum("qty").over(Window.partitionBy("l_partkey")))
             .where(F.col("qty") > 0.5 * F.col("tot_qty"))
             .select("l_suppkey").distinct())
     nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -806,30 +814,26 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the order's latest shipment and nobody ties — Q21's
     EXISTS / NOT-EXISTS pair as window predicates.
 
-    Plan shape: the order-status slice broadcasts; the (order, supplier)
-    rollup, the per-order rollup, the at-max join and the tie-count
-    window all share the orderkey partitioning — one shuffle family; the
-    final per-supplier count is a 100-row agg with a broadcast name
-    lookup.  Timestamp max/equality is exact; ties are handled by the
+    Plan shape: ONE lineitem scan — the order-status slice broadcasts;
+    the per-order max / supplier count / tie count are all windows over
+    the (order, supplier) AGGREGATE sharing one orderkey sort (no
+    per_os ⋈ per_o self-join, which would rescan and sort-merge); the
+    final per-supplier count is a tiny agg with a broadcast name lookup.
+    Timestamp max/equality is exact; ties are handled by the
     n_at_max = 1 predicate, not float tolerance."""
     fo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
           .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
+    w = Window.partitionBy("l_orderkey")
     per_os = (li.join(F.broadcast(fo), li.l_orderkey == fo.o_orderkey)
               .groupBy("l_orderkey", "l_suppkey")
-              .agg(F.max("l_shipdate").alias("s_max")))
-    per_o = (per_os.groupBy("l_orderkey")
-             .agg(F.max("s_max").alias("o_max"),
-                  F.count("*").alias("n_supp")))
-    at_max = (per_os.join(per_o, (per_os.l_orderkey == per_o.l_orderkey)
-                          & (per_os.s_max == per_o.o_max))
-              .drop(per_o.l_orderkey)
-              .withColumn("n_at_max",
-                          F.count("*").over(
-                              Window.partitionBy("l_orderkey"))))
-    waiters = at_max.where((F.col("n_supp") >= 2)
-                           & (F.col("n_at_max") == 1))
+              .agg(F.max("l_shipdate").alias("s_max"))
+              .withColumn("o_max", F.max("s_max").over(w))
+              .withColumn("n_supp", F.count("*").over(w)))
+    waiters = (per_os.where(F.col("s_max") == F.col("o_max"))
+               .withColumn("n_at_max", F.count("*").over(w))
+               .where((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1)))
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_name")
     return (waiters.join(F.broadcast(supp),

@@ -140,3 +140,57 @@ def test_tpch_q22_anti_join(spark):
     assert "LeftAnti" in p
     assert p.count("customer.parquet") == 2        # cust slice + threshold
     assert "GreaterThanOrEqual(o_orderdate" in p   # pushed order filter
+
+
+def test_tpch_q2_single_scan_window_min(spark):
+    """Q2: the correlated per-part min is a window over the aggregate —
+    ONE lineitem scan (the naive decorrelation aggregates the fact twice),
+    part/supplier dims broadcast, part predicates pushed to the scan."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q2(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert "EqualTo(p_type,STANDARD)" in p
+    assert "LessThanOrEqual(p_size,10)" in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q11_single_scan_scalar_window(spark):
+    """Q11: the HAVING-vs-total threshold attaches via an unpartitioned
+    window over the per-part AGGREGATE (state-sized), not a crossJoin
+    that would rescan lineitem."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q11(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
+
+
+def test_tpch_q20_single_scan_majority_share(spark):
+    """Q20: per-part totals via window over the (part, supplier)
+    aggregate; supplier lookup is a broadcast semi-join; name/date
+    predicates reach the scans."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q20(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert "StringStartsWith(p_name,small )" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LeftSemi" in p
+
+
+def test_tpch_q21_windows_share_one_sort(spark):
+    """Q21: the EXISTS/NOT-EXISTS pair is two window passes sharing the
+    orderkey partitioning over ONE lineitem scan — no per_os ⋈ per_o
+    self-join (which planned as a SortMergeJoin + second scan)."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q21(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert p.count("Window") == 2
+    # both windows run on the same orderkey partitioning: exactly one
+    # exchange introduces it (the agg), none between the windows
+    agg_and_window_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(l_orderkey" in ln]
+    assert len(agg_and_window_exchanges) <= 2
