@@ -577,6 +577,71 @@ def q_streaming_windowed_distinct(spark, sf_dir):
               "within_bound boolean, streaming_equals_batch boolean")
 
 
+def q_streaming_windowed_value_quantiles(spark, sf_dir):
+    """Streaming × sketch: per-hour value quantiles (p50/p99) via DDSketch
+    states folded per micro-batch (GroupedStreamAccumulator over the
+    4-file availableNow stream).  DDSketch merges are key-wise counter
+    sums — BIT-identical under any order — so the streamed per-window
+    states must equal ONE batch grouped build exactly (pinned by the
+    ``streaming_equals_batch`` column; for KLL/t-digest only the bounds
+    would transfer, for DDSketch the bytes do).  Each window's estimate
+    is then checked DISTRIBUTED against the α relative-error guarantee
+    with the same conditional-count bracket as ``ddsketch_ntok_quantiles``
+    — est(q) brackets the true ⌊q·(n−1)⌋-rank item iff
+    count(v < est/(1+α)) ≤ r AND count(v ≤ est/(1−α)) ≥ r+1 — one
+    broadcast join of the 720×2 (window, bounds) rows onto the events
+    scan, one hash agg.  n per window comes from the sketch state and
+    must match the oracle's exact count (value has no NULL/NaN here)."""
+    import numpy as np
+
+    from ..operators import build_grouped
+    from ..sketches import DDSketch, DDSketchParams
+    from ..streaming.stream_build import (GroupedStreamAccumulator,
+                                          _run_stream_fold)
+    path = _events_stream_dir(sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def prep(df):
+        return df.select(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("group"),
+            F.col("value").alias("v"))
+
+    sk = DDSketch(DDSketchParams(alpha=0.01))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        acc = _run_stream_fold(spark, path, events.schema,
+                               GroupedStreamAccumulator(sk, prep, "f64"), 1)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    stream_blobs = acc.blobs()
+    batch_blobs = {r.group: bytes(r.state) for r in build_grouped(
+        prep(events), sk, "group", "v", "f64", strategy="mapside").collect()}
+    equal = batch_blobs == stream_blobs and acc.epochs >= 2
+    qs = (0.5, 0.99)
+    alpha = sk.params.alpha * (1 + 1e-9) + 1e-12
+    rows = []
+    for g, blob in stream_blobs.items():
+        _, st = DDSketch.deserialize(blob)
+        for q, e in zip(qs, sk.quantiles(st, qs)):
+            lo = min(e / (1 + alpha), e / (1 - alpha))
+            hi = max(e / (1 + alpha), e / (1 - alpha))
+            rows.append((g, float(q), st.n, float(lo), float(hi)))
+    bdf = spark.createDataFrame(
+        rows, "group string, q double, n long, lo double, hi double")
+    r = F.floor(F.col("q") * (F.col("n") - 1))  # = the numpy rank formula
+    return (prep(events).join(F.broadcast(bdf), "group")
+            .groupBy("group", "q", "n")
+            .agg(F.sum((F.col("v") < F.col("lo")).cast("long")).alias("lt"),
+                 F.sum((F.col("v") <= F.col("hi")).cast("long")).alias("le"))
+            .select(F.col("group").alias("window_start"), "q",
+                    F.col("n").alias("n"),
+                    ((F.col("lt") <= r) & (F.col("le") >= r + 1))
+                    .alias("within_bound"),
+                    F.lit(bool(equal)).alias("streaming_equals_batch")))
+
+
 _LATE_T0 = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned base epoch
 _LATE_DELAY = 5400  # 90-minute watermark
 
@@ -1063,6 +1128,7 @@ PIPELINE_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_windowed_distinct_hll": q_streaming_windowed_distinct,
+    "streaming_windowed_value_quantiles": q_streaming_windowed_value_quantiles,
     "streaming_late_data_drop": q_streaming_late_data_drop,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "tpch_q1": q_tpch_q1,
@@ -2179,6 +2245,15 @@ def pipeline_oracles() -> dict[str, str]:
                    TRUE AS within_bound,
                    TRUE AS streaming_equals_batch
             FROM events GROUP BY 1
+        """,
+        "streaming_windowed_value_quantiles": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   q.q, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS within_bound,
+                   TRUE AS streaming_equals_batch
+            FROM events CROSS JOIN (VALUES (0.5), (0.99)) q(q)
+            GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH g AS (

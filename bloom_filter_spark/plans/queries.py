@@ -1311,6 +1311,13 @@ _TAIL = [
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
+    # streaming_windowed_value_quantiles: NEW late in r5, same overflow
+    # rationale; head siblings cover both halves — the grouped stream fold
+    # (streaming gate rows) and the DDSketch bracket check (pytest-pinned
+    # kernel + the gated ddsketch_ntok_quantiles shape).  Its own
+    # streaming≡batch bit-parity is computed INSIDE the query.  Rotates
+    # into the head in r6.
+    "streaming_windowed_value_quantiles",
     # ddsketch_ntok_quantiles: NEW in r5, same overflow rationale; head
     # siblings kll_ntok_quantiles / tdigest_ntok_quantiles cover the f64
     # build + bound-check shape; the DDSketch kernel itself is pinned by
