@@ -177,7 +177,7 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
     if shuffle_partitions:
         counts = counts.repartition(shuffle_partitions)
 
-    supports_weights = sketch.kind in ("cms", "tdigest", "kll", "mg")
+    supports_weights = sketch.kind in ("cms", "tdigest", "kll", "mg", "ddsketch")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
 
     def partial_fn(batches):
@@ -192,7 +192,7 @@ def build_sketch_preagg(df: DataFrame, sketch, col: str,
             if sketch.kind == "cms":
                 getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
                     state, vals, weights=w)
-            elif sketch.kind == "kll":
+            elif sketch.kind in ("kll", "ddsketch"):
                 sketch.update_weighted(state, np.asarray(vals, np.float64), w)
             elif sketch.kind == "mg":
                 sketch.update_weighted(state, np.asarray(vals, np.int64), w)
@@ -707,7 +707,8 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
     (Bloom/HLL) and weight-additive ones (CMS/t-digest).
     → DataFrame(group string, n_items long, state binary).
     """
-    if sketch.kind not in ("bloom", "blocked_bloom", "hll", "cms", "tdigest", "kll"):
+    if sketch.kind not in ("bloom", "blocked_bloom", "hll", "cms", "tdigest",
+                           "kll", "ddsketch"):
         raise ValueError(f"pre-aggregated grouped build unsupported for {sketch.kind}")
     elem_kind = "i32" if value_kind == "i32_array" else value_kind
     v = F.explode(F.col(col)) if value_kind == "i32_array" else F.col(col)
@@ -738,7 +739,7 @@ def build_grouped_preagg(df: DataFrame, sketch, group_col: str, col: str,
                 if sketch.kind == "cms":
                     getattr(sketch, f"update_{'str' if elem_kind == 'str' else 'i32'}")(
                         st, vals, weights=w)
-                elif sketch.kind == "kll":
+                elif sketch.kind in ("kll", "ddsketch"):
                     sketch.update_weighted(st, np.asarray(vals, np.float64), w)
                 elif sketch.kind == "tdigest":
                     arr = np.asarray(vals, np.float64)

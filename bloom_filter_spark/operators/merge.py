@@ -103,6 +103,9 @@ def state_size_estimate(sketch) -> int:
         # params-derived: serializing a zeroed 2^27-counter array just to
         # measure it would churn ~GBs of driver allocations per build
         return 16 + sketch.params.m * 4
+    if sketch.kind == "ddsketch":
+        # params-derived cap: max_bins (keys + counts) × i64 per sign store
+        return 44 + 4 * sketch.params.max_bins * 8
     base = len(sketch.serialize(sketch.empty()))
     k = getattr(sketch.params, "k", None)
     if k is not None:  # KMV/reservoir: k×u64; MG: k×(key+count); KLL: ~3k

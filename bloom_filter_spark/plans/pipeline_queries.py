@@ -586,14 +586,13 @@ def q_streaming_windowed_value_quantiles(spark, sf_dir):
     ``streaming_equals_batch`` column; for KLL/t-digest only the bounds
     would transfer, for DDSketch the bytes do).  Each window's estimate
     is then checked DISTRIBUTED against the α relative-error guarantee
-    with the same conditional-count bracket as ``ddsketch_ntok_quantiles``
-    — est(q) brackets the true ⌊q·(n−1)⌋-rank item iff
-    count(v < est/(1+α)) ≤ r AND count(v ≤ est/(1−α)) ≥ r+1 — one
-    broadcast join of the 720×2 (window, bounds) rows onto the events
-    scan, one hash agg.  n per window comes from the sketch state and
-    must match the oracle's exact count (value has no NULL/NaN here)."""
-    import numpy as np
-
+    with the conditional-count bracket (``DDSketch.bracket`` — the same
+    single-source bound as ``ddsketch_ntok_quantiles``): est(q) brackets
+    the true ⌊q·(n−1)⌋-rank item iff count(v < lo) ≤ r AND
+    count(v ≤ hi) ≥ r+1 — one broadcast join of the 720×2
+    (window, bounds) rows onto the events scan, one hash agg.  n per
+    window comes from the sketch state and must match the oracle's exact
+    count (value has no NULL/NaN here)."""
     from ..operators import build_grouped
     from ..sketches import DDSketch, DDSketchParams
     from ..streaming.stream_build import (GroupedStreamAccumulator,
@@ -620,24 +619,21 @@ def q_streaming_windowed_value_quantiles(spark, sf_dir):
         prep(events), sk, "group", "v", "f64", strategy="mapside").collect()}
     equal = batch_blobs == stream_blobs and acc.epochs >= 2
     qs = (0.5, 0.99)
-    alpha = sk.params.alpha * (1 + 1e-9) + 1e-12
     rows = []
     for g, blob in stream_blobs.items():
         _, st = DDSketch.deserialize(blob)
-        for q, e in zip(qs, sk.quantiles(st, qs)):
-            lo = min(e / (1 + alpha), e / (1 - alpha))
-            hi = max(e / (1 + alpha), e / (1 - alpha))
-            rows.append((g, float(q), st.n, float(lo), float(hi)))
+        for q, r, lo, hi in sk.bracket(st, qs):
+            rows.append((g, q, st.n, r, lo, hi))
     bdf = spark.createDataFrame(
-        rows, "group string, q double, n long, lo double, hi double")
-    r = F.floor(F.col("q") * (F.col("n") - 1))  # = the numpy rank formula
+        rows, "group string, q double, n long, r long, lo double, hi double")
     return (prep(events).join(F.broadcast(bdf), "group")
-            .groupBy("group", "q", "n")
+            .groupBy("group", "q", "n", "r")
             .agg(F.sum((F.col("v") < F.col("lo")).cast("long")).alias("lt"),
                  F.sum((F.col("v") <= F.col("hi")).cast("long")).alias("le"))
             .select(F.col("group").alias("window_start"), "q",
                     F.col("n").alias("n"),
-                    ((F.col("lt") <= r) & (F.col("le") >= r + 1))
+                    ((F.col("lt") <= F.col("r"))
+                     & (F.col("le") >= F.col("r") + 1))
                     .alias("within_bound"),
                     F.lit(bool(equal)).alias("streaming_equals_batch")))
 

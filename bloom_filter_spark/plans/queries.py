@@ -640,21 +640,16 @@ def q_ddsketch_ntok_quantiles(spark, sf_dir):
     equals a local build exactly (pytest-pinned)."""
     _, state = DDSketch.deserialize(_blob(spark, sf_dir, "dd_ntok")[0])
     sk = DDSketch(DD_CFG)
-    est = sk.quantiles(state, QS)
-    n = state.n
-    alpha = DD_CFG.alpha * (1 + 1e-9) + 1e-12
+    brackets = sk.bracket(state, QS)
     vals = _tokens(spark, sf_dir).select(F.col("n_tok").alias("v"))
     aggs = []
-    for i, e in enumerate(est):
-        lo, hi = float(e) / (1 + alpha), float(e) / (1 - alpha)
+    for i, (_, _, lo, hi) in enumerate(brackets):
         aggs.append(F.sum((F.col("v") < lo).cast("long")).alias(f"lt{i}"))
         aggs.append(F.sum((F.col("v") <= hi).cast("long")).alias(f"le{i}"))
     row = vals.agg(*aggs).collect()[0]
     out = []
-    for i, q in enumerate(QS):
-        r = int(np.floor(q * (n - 1)))
-        out.append((float(q),
-                    bool(row[f"lt{i}"] <= r and row[f"le{i}"] >= r + 1)))
+    for i, (q, r, _, _) in enumerate(brackets):
+        out.append((q, bool(row[f"lt{i}"] <= r and row[f"le{i}"] >= r + 1)))
     return spark.createDataFrame(out, "q double, within_bound boolean")
 
 

@@ -53,6 +53,9 @@ class DDSketchParams:
             raise ValueError("alpha must be in (0, 1)")
         if self.max_bins < 16:
             raise ValueError("max_bins must be >= 16")
+        if not (self.min_value > 0):
+            raise ValueError("min_value must be > 0 (it separates the "
+                             "exact-zero counter from the log stores)")
 
     @property
     def gamma(self) -> float:
@@ -122,8 +125,11 @@ class DDSketch:
         return keys, cnts
 
     def update(self, state: DDState, values, weights=None) -> None:
+        # NaN AND ±inf are dropped: log(inf) int64-casts to INT64_MIN,
+        # which would file an infinite value at the wrong EXTREME of the
+        # distribution (observed: +inf reported as the minimum)
         v = np.asarray(values, np.float64)
-        keep = ~np.isnan(v)
+        keep = np.isfinite(v)
         w = None if weights is None else np.asarray(weights, np.int64)
         if w is not None:
             keep &= w > 0
@@ -190,6 +196,21 @@ class DDSketch:
                          * (state.n - 1)).astype(np.int64)
         pos = np.searchsorted(cum, ranks + 1, side="left")
         return vals[np.minimum(pos, vals.size - 1)]
+
+    def bracket(self, state: DDState, qs):
+        """Per q: (q, rank, lo, hi) where the α guarantee holds iff the
+        true ⌊q·(n−1)⌋-rank item x satisfies lo ≤ x ≤ hi, checkable
+        distributed as count(v < lo) ≤ rank AND count(v ≤ hi) ≥ rank+1.
+        The cushion absorbs the float64 representation error of the
+        est/(1±α) division; min/max orders the bracket for negative
+        estimates.  Single source of truth for every gated bound check."""
+        a = self.params.alpha * (1 + 1e-9) + 1e-12
+        out = []
+        for q, e in zip(qs, self.quantiles(state, qs)):
+            lo = min(float(e) / (1 + a), float(e) / (1 - a))
+            hi = max(float(e) / (1 + a), float(e) / (1 - a))
+            out.append((float(q), int(np.floor(q * (state.n - 1))), lo, hi))
+        return out
 
     # -- serde ---------------------------------------------------------------
     def serialize(self, state: DDState) -> bytes:

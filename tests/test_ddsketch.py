@@ -133,3 +133,65 @@ def test_distributed_build_equals_local(spark, sf_small):
     sk.update(local, vals)
     assert n == vals.size
     assert blob == sk.serialize(local)
+
+
+def test_inf_dropped_like_nan():
+    """±inf must not corrupt the stores (inf→int64 cast files it at the
+    wrong EXTREME: +inf was observed reported as the MINIMUM)."""
+    sk = DDSketch(DDSketchParams())
+    st = sk.empty()
+    sk.update(st, np.array([1.0, 2.0, 3.0, np.inf, -np.inf]))
+    assert st.n == 3
+    assert float(sk.quantiles(st, [0.0])[0]) > 0.9
+    assert float(sk.quantiles(st, [1.0])[0]) < 3.1
+
+
+def test_min_value_must_be_positive():
+    for bad in (0.0, -1e-9):
+        with pytest.raises(ValueError):
+            DDSketchParams(alpha=0.01, min_value=bad)
+
+
+def test_bracket_matches_exact_rank():
+    sk = DDSketch(DDSketchParams(alpha=0.01))
+    st = sk.empty()
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.lognormal(2, 1, 30_000),
+                        -rng.lognormal(1, 1, 3_000)])
+    sk.update(st, v)
+    sv = np.sort(v)
+    for q, r, lo, hi in sk.bracket(st, [0.01, 0.5, 0.99]):
+        assert lo <= sv[r] <= hi            # the distributed-check contract
+        assert int((sv < lo).sum()) <= r
+        assert int((sv <= hi).sum()) >= r + 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_preagg_build_bit_equals_direct(spark, sf_small):
+    """DDSketch is weight-additive-exact, so the distinct-domain
+    pre-aggregated build must produce the IDENTICAL blob as the direct
+    partials path (the property the supports_weights dispatch claims)."""
+    from bloom_filter_spark.operators import build_sketch, build_sketch_preagg
+    sk = DDSketch(DDSketchParams(alpha=0.01))
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    direct, n1 = build_sketch(toks, sk, "n_tok", "f64")
+    pre, n2 = build_sketch_preagg(toks, sk, "n_tok", "f64")
+    assert n1 == n2
+    assert direct == pre
+
+
+@pytest.mark.usefixtures("spark")
+def test_grouped_preagg_bit_equals_mapside(spark, sf_small):
+    """Grouped pre-aggregated build ≡ grouped map-side build, blob-for-blob
+    (both orders collapse to the same sorted key-count arrays)."""
+    from bloom_filter_spark.operators import build_grouped
+    from bloom_filter_spark.operators.build import build_grouped_preagg
+    sk = DDSketch(DDSketchParams(alpha=0.01))
+    toks = spark.read.parquet(f"{sf_small}/tokens.parquet")
+    a = {r.group: bytes(r.state) for r in build_grouped(
+        toks.selectExpr("source as group", "n_tok as v"), sk, "group", "v",
+        "f64", strategy="mapside").collect()}
+    b = {r.group: bytes(r.state) for r in build_grouped_preagg(
+        toks.selectExpr("source as group", "n_tok as v"), sk, "group", "v",
+        "f64").collect()}
+    assert a == b and len(a) >= 2
