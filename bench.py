@@ -110,6 +110,10 @@ def main() -> None:
         tokens, KLLSketch(KLLParams(k=200)), "tokens", "i32_array"), repeats=2)
     timed("tdigest_build_ntok", lambda: build_sketch(
         tokens, TDigestSketch(TDigestParams(200)), "n_tok", "f64"), repeats=2)
+    from bloom_filter_spark.sketches import DDSketch, DDSketchParams
+    timed("ddsketch_build_ntok", lambda: build_sketch(
+        tokens, DDSketch(DDSketchParams(alpha=0.01)), "n_tok", "f64"),
+        repeats=2)
     from bloom_filter_spark.operators import build_sketch_preagg
     timed("bloom_build_preagg", lambda: build_sketch_preagg(
         tokens, BloomSketch(BloomParams(n=65_536, p=0.01)), "tokens", "i32_array"),
