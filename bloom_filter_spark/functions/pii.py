@@ -33,15 +33,18 @@ def pii_scan(df: DataFrame, text_col: str = "text",
     """Per-doc PII inventory + redacted text.
 
     → DataFrame(id_col, n_email, n_phone, n_ipv4, has_pii, redacted).
-    Counts are taken on the ORIGINAL text per category; redaction applies
-    the categories in the fixed order above, each replacement running
-    globally (Spark ``regexp_replace`` replaces all matches).
+    Each category is counted on the text AS REDACTED SO FAR (same fixed
+    order as the replacements), so ``n_<cat>`` equals exactly the number
+    of ``<CAT>`` placeholders present in the final output — a digit run
+    inside an email can't be double-counted as a phone/IP after the email
+    is already gone (ADVICE r5).  Still one pure-codegen projection:
+    the progressive texts are intermediate expressions, zero shuffles.
     """
-    t = F.col(text_col)
-    counts = [F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
-              for name, pat, _ in REDACTIONS]
-    red = t
-    for _, pat, repl in REDACTIONS:
+    red = F.col(text_col)
+    counts = []
+    for name, pat, repl in REDACTIONS:
+        counts.append(F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+                      .alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     out = df.select(F.col(id_col), *counts, red.alias("redacted"))
     has = None

@@ -105,7 +105,8 @@ def state_size_estimate(sketch) -> int:
         return 16 + sketch.params.m * 4
     if sketch.kind == "ddsketch":
         # params-derived cap: max_bins (keys + counts) × i64 per sign store
-        return 44 + 4 * sketch.params.max_bins * 8
+        # (48 = 20B param header + n + zero + 2 size u32s + collapse flag)
+        return 48 + 4 * sketch.params.max_bins * 8
     base = len(sketch.serialize(sketch.empty()))
     k = getattr(sketch.params, "k", None)
     if k is not None:  # KMV/reservoir: k×u64; MG: k×(key+count); KLL: ~3k

@@ -622,6 +622,14 @@ def q_streaming_windowed_value_quantiles(spark, sf_dir):
     rows = []
     for g, blob in stream_blobs.items():
         _, st = DDSketch.deserialize(blob)
+        # the byte-parity gate above is only guaranteed while no store has
+        # collapsed (merge order then affects which buckets spill) — fail
+        # LOUDLY here rather than let `streaming_equals_batch` flake
+        # (ADVICE r5; sketches/ddsketch.py module docstring)
+        assert not st.collapsed, (
+            f"DDSketch store collapsed for window {g}: byte-level "
+            "streaming==batch parity is no longer guaranteed; raise "
+            "max_bins or drop the byte gate for this data")
         for q, r, lo, hi in sk.bracket(st, qs):
             rows.append((g, q, st.n, r, lo, hi))
     bdf = spark.createDataFrame(
@@ -1634,30 +1642,38 @@ def pipeline_oracles() -> dict[str, str]:
                      || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
                           || CAST(doc_id % 256 AS VARCHAR) || '.1'
                         ELSE '' END AS t
-              FROM documents)
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(t,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
-                     AS n_email,
-                   CAST(len(regexp_extract_all(t,
-                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
-                   CAST(len(regexp_extract_all(t,
-                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
-                     AS n_ipv4,
-                   (len(regexp_extract_all(t,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
-                    OR len(regexp_extract_all(t,
-                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) > 0
-                    OR len(regexp_extract_all(t,
+              FROM documents),
+            -- counts run on the PROGRESSIVELY redacted text (same fixed
+            -- order as the engine: email → phone → ipv4) so each n_<cat>
+            -- equals the placeholders in the final redaction (ADVICE r5)
+            s1 AS (
+              SELECT doc_id, t,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS INT) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+                     regexp_replace(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                       '<PHONE>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, n_email, n_phone,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS INT) AS n_ipv4,
+                   (n_email > 0 OR n_phone > 0
+                    OR len(regexp_extract_all(t2,
                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0)
                      AS has_pii,
-                   md5(regexp_replace(regexp_replace(regexp_replace(t,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                     '<EMAIL>', 'g'),
-                     '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                   md5(regexp_replace(t2,
                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                      '<IP>', 'g')) AS redacted_md5
-            FROM aug
+            FROM s2
         """,
         "text_langid": _langid_sql(),
         "curation_pipeline": _curation_sql(),

@@ -121,10 +121,12 @@ class CountSketch:
                     state[row] += c[:p.w]
                     state[row] -= c[p.w:]
                 else:
+                    # np.add.at keeps the accumulation in int64 end-to-end:
+                    # a float64-weighted bincount silently loses integer
+                    # precision once a per-bucket batch sum passes 2^53,
+                    # breaking the bit-identical-counters claim (ADVICE r5)
                     sw = (1 - 2 * sbit.astype(np.int64)) * wv
-                    state[row] += np.bincount(
-                        bucket.astype(np.int64), weights=sw,
-                        minlength=p.w).astype(np.int64)
+                    np.add.at(state[row], bucket.astype(np.int64), sw)
 
     def update_i32(self, state, values, weights=None) -> None:
         self._update(state, values, "i32", weights)
@@ -172,9 +174,13 @@ class CountSketch:
         d = r.u32()
         w = r.u32()
         seed = r.u64()
+        # validate BEFORE constructing: a blob carrying an even d would
+        # bypass the force-odd invariant and turn _point's ests[d//2] into
+        # a biased upper-median (ADVICE r5) — reject rather than "repair",
+        # since d|1 would reinterpret the matrix shape and corrupt rows
+        if d < 1 or (d & 1) == 0 or w < 2:
+            raise ValueError(
+                f"corrupt CountSketch blob: d={d} (must be odd ≥1), "
+                f"w={w} (must be ≥2)")
         state = r.array("<i8", d * w).reshape(d, w)
-        params = object.__new__(CountSketchParams)
-        object.__setattr__(params, "w", w)
-        object.__setattr__(params, "d", d)
-        object.__setattr__(params, "seed", seed)
-        return cls(params), state
+        return cls(CountSketchParams(w=w, d=d, seed=seed)), state

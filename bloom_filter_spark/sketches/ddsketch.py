@@ -28,7 +28,14 @@ collapse).
 State is a pair of sorted (keys int64, counts int64) arrays per sign plus
 the zero counter — O(#bins) bytes, independent of n.  Fully deterministic:
 no RNG anywhere, so distributed ≡ local bit-for-bit under any partition
-split (unlike KLL/t-digest whose merges are only bound-equivalent).
+split (unlike KLL/t-digest whose merges are only bound-equivalent) —
+CONDITIONAL on no store ever exceeding ``max_bins``: once `_collapse`
+fires, which buckets spill depends on fold/batch boundaries, so two
+equal-content builds can produce different (still α-valid above the
+collapsed mass) byte states.  ``DDState.collapsed`` records that event and
+rides the serialized blob, so any parity gate (streaming ≡ batch,
+distributed ≡ local) can ASSERT the flag is False instead of silently
+comparing bytes whose equality is no longer guaranteed (ADVICE r5).
 """
 
 from __future__ import annotations
@@ -63,10 +70,11 @@ class DDSketchParams:
 
 
 class DDState:
-    __slots__ = ("pos_keys", "pos_cnts", "neg_keys", "neg_cnts", "zero", "n")
+    __slots__ = ("pos_keys", "pos_cnts", "neg_keys", "neg_cnts", "zero", "n",
+                 "collapsed")
 
     def __init__(self, pos_keys=None, pos_cnts=None, neg_keys=None,
-                 neg_cnts=None, zero=0, n=0):
+                 neg_cnts=None, zero=0, n=0, collapsed=False):
         z64 = np.empty(0, np.int64)
         self.pos_keys = z64 if pos_keys is None else pos_keys
         self.pos_cnts = z64 if pos_cnts is None else pos_cnts
@@ -74,6 +82,10 @@ class DDState:
         self.neg_cnts = z64 if neg_cnts is None else neg_cnts
         self.zero = int(zero)
         self.n = int(n)
+        # True once any store has spilled past max_bins: estimates stay
+        # α-valid above the collapsed mass, but byte-level merge-order /
+        # batch-boundary invariance is forfeit (see module docstring)
+        self.collapsed = bool(collapsed)
 
 
 def _fold(keys_a, cnts_a, keys_b, cnts_b):
@@ -108,21 +120,22 @@ class DDSketch:
         return np.ceil(np.log(mag) / lg - 1e-12).astype(np.int64)
 
     def _collapse(self, keys, cnts, descending: bool):
-        """Collapse over-budget buckets into the lowest-value end."""
+        """Collapse over-budget buckets into the lowest-value end.
+        → (keys, cnts, did_collapse) — the flag feeds DDState.collapsed."""
         mb = self.params.max_bins
         if keys.size <= mb:
-            return keys, cnts
+            return keys, cnts, False
         if descending:
             # negative store: highest keys are the most-negative values —
             # collapse the TOP end into one bucket
             spill = int(cnts[mb - 1:].sum())
             keys, cnts = keys[:mb].copy(), cnts[:mb].copy()
             cnts[mb - 1] = spill
-            return keys, cnts
+            return keys, cnts, True
         spill = int(cnts[:keys.size - mb + 1].sum())
         keys, cnts = keys[keys.size - mb:].copy(), cnts[keys.size - mb:].copy()
         cnts[0] = spill
-        return keys, cnts
+        return keys, cnts, True
 
     def update(self, state: DDState, values, weights=None) -> None:
         # NaN AND ±inf are dropped: log(inf) int64-casts to INT64_MIN,
@@ -146,11 +159,12 @@ class DDSketch:
             cnt = np.zeros(uk.size, np.int64)
             np.add.at(cnt, inv, 1 if w is None else w[sel])
             if sign == "pos":
-                state.pos_keys, state.pos_cnts = self._collapse(
+                state.pos_keys, state.pos_cnts, did = self._collapse(
                     *_fold(state.pos_keys, state.pos_cnts, uk, cnt), False)
             else:
-                state.neg_keys, state.neg_cnts = self._collapse(
+                state.neg_keys, state.neg_cnts, did = self._collapse(
                     *_fold(state.neg_keys, state.neg_cnts, uk, cnt), True)
+            state.collapsed |= did
         zsel = np.abs(v) < mv
         state.zero += (int(zsel.sum()) if w is None
                        else int(w[zsel].sum()))
@@ -164,11 +178,12 @@ class DDSketch:
 
     # -- merge ---------------------------------------------------------------
     def merge(self, a: DDState, b: DDState) -> DDState:
-        pk, pc = self._collapse(*_fold(a.pos_keys, a.pos_cnts,
-                                       b.pos_keys, b.pos_cnts), False)
-        nk, nc = self._collapse(*_fold(a.neg_keys, a.neg_cnts,
-                                       b.neg_keys, b.neg_cnts), True)
-        return DDState(pk, pc, nk, nc, a.zero + b.zero, a.n + b.n)
+        pk, pc, cp = self._collapse(*_fold(a.pos_keys, a.pos_cnts,
+                                           b.pos_keys, b.pos_cnts), False)
+        nk, nc, cn = self._collapse(*_fold(a.neg_keys, a.neg_cnts,
+                                           b.neg_keys, b.neg_cnts), True)
+        return DDState(pk, pc, nk, nc, a.zero + b.zero, a.n + b.n,
+                       a.collapsed or b.collapsed or cp or cn)
 
     # -- queries -------------------------------------------------------------
     def _est(self, key: np.ndarray) -> np.ndarray:
@@ -219,7 +234,11 @@ class DDSketch:
                 + pack_f64(p.min_value) + pack_u64(state.n)
                 + pack_u64(state.zero)
                 + pack_u32(state.pos_keys.size)
-                + pack_u32(state.neg_keys.size))
+                + pack_u32(state.neg_keys.size)
+                # collapse flag rides AFTER the 20-byte param header that
+                # merge_blobs equality-checks, so a collapsed partial still
+                # merges with a clean one (operators/merge.py:36)
+                + pack_u32(1 if state.collapsed else 0))
         return (head
                 + state.pos_keys.astype("<i8").tobytes()
                 + state.pos_cnts.astype("<i8").tobytes()
@@ -235,9 +254,10 @@ class DDSketch:
         n = r.u64()
         zero = r.u64()
         np_, nn = r.u32(), r.u32()
+        collapsed = bool(r.u32())
         pk = r.array("<i8", np_)
         pc = r.array("<i8", np_)
         nk = r.array("<i8", nn)
         nc = r.array("<i8", nn)
         return (cls(DDSketchParams(alpha, max_bins, min_value)),
-                DDState(pk, pc, nk, nc, zero, n))
+                DDState(pk, pc, nk, nc, zero, n, collapsed))

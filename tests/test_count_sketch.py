@@ -104,3 +104,40 @@ def test_signs_balanced():
     for j in range(sk.params.d):
         frac = (sk._signs(hs, j) > 0).mean()
         assert 0.49 < frac < 0.51
+
+
+def test_weighted_updates_exact_past_float53():
+    """Weighted accumulation must stay int64-exact: two 2^53+1 weights on
+    the same key differ from 2^54+2 by exactly 0 in int64 but by 2 under
+    float64 rounding (ADVICE r5 — the old float-bincount path lost this)."""
+    sk = CountSketch(CountSketchParams(w=1 << 8, d=3))
+    big = (1 << 53) + 1
+    a = sk.empty()
+    sk.update_i64(a, np.array([42, 42], np.int64),
+                  np.array([big, big], np.int64))
+    b = sk.empty()
+    sk.update_i64(b, np.array([42], np.int64),
+                  np.array([2 * big], np.int64))
+    assert np.array_equal(a, b)
+    assert int(sk.point_i64(a, np.array([42], np.int64))[0]) == 2 * big
+
+
+def test_deserialize_rejects_corrupt_params():
+    """A blob with an even d (or degenerate w) must be rejected, not
+    silently accepted with a biased upper-median point query (ADVICE r5)."""
+    sk = CountSketch(CountSketchParams(w=1 << 6, d=3))
+    st = sk.empty()
+    sk.update_i32(st, np.arange(100, dtype=np.int32))
+    blob = bytearray(sk.serialize(st))
+    good = CountSketch.deserialize(bytes(blob))
+    assert good[0].params == sk.params
+    blob[0:4] = (4).to_bytes(4, "little")          # d=4: even
+    with pytest.raises(ValueError):
+        CountSketch.deserialize(bytes(blob))
+    blob[0:4] = (0).to_bytes(4, "little")          # d=0
+    with pytest.raises(ValueError):
+        CountSketch.deserialize(bytes(blob))
+    blob[0:4] = (3).to_bytes(4, "little")
+    blob[4:8] = (1).to_bytes(4, "little")          # w=1: degenerate
+    with pytest.raises(ValueError):
+        CountSketch.deserialize(bytes(blob))

@@ -110,6 +110,37 @@ def test_collapse_keeps_upper_quantiles():
         assert abs(est - x) <= 0.0101 * abs(x)
 
 
+def test_collapse_flag_recorded_and_rides_serde():
+    """Once _collapse fires the byte-parity guarantee is conditional
+    (ADVICE r5) — the state must say so, survive serde, and infect merges;
+    an un-collapsed build over the same sketch params must stay False."""
+    sk = DDSketch(DDSketchParams(alpha=0.01, max_bins=1000))
+    rng = np.random.default_rng(5)
+    wide = np.power(10.0, rng.uniform(0, 12, 50_000))   # ~1380 bins > cap
+    st = sk.empty()
+    assert not st.collapsed
+    sk.update(st, wide)
+    assert st.collapsed
+    _, back = DDSketch.deserialize(sk.serialize(st))
+    assert back.collapsed                                # flag rides the blob
+    clean = sk.empty()
+    sk.update(clean, np.array([1.0, 2.0, 3.0]))
+    assert not clean.collapsed
+    assert not sk.merge(clean, sk.empty()).collapsed     # clean ∪ clean clean
+    assert sk.merge(clean, st).collapsed                 # collapsed infects
+    # narrow data never collapses → parity guarantee unconditional there
+    _, back2 = DDSketch.deserialize(sk.serialize(clean))
+    assert not back2.collapsed
+    # merging two clean states may itself overflow the cap → flag set
+    lo, hi = sk.empty(), sk.empty()
+    sk.update(lo, np.power(10.0, rng.uniform(0, 6, 30_000)))
+    sk.update(hi, np.power(10.0, rng.uniform(6.5, 12, 30_000)))
+    if not (lo.collapsed or hi.collapsed):
+        m = sk.merge(lo, hi)
+        assert m.collapsed == (m.pos_keys.size >= 1000
+                               or lo.pos_keys.size + hi.pos_keys.size > 1000)
+
+
 def test_nan_and_empty_batches_ignored():
     sk = DDSketch(DDSketchParams())
     st = sk.empty()
