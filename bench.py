@@ -50,15 +50,20 @@ def main() -> None:
 
     results: dict[str, float] = {}
     extra: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     def timed(name: str, fn, repeats: int = 1):
-        best, out = None, None
+        out = None
+        obs = []
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        results[name] = round(best, 3)
+            obs.append(round(time.time() - t0, 3))
+        # best-of is the reported line (least contention-polluted), but the
+        # raw samples ride along so a reader can separate throttle noise
+        # from real regression without re-litigating (VERDICT r5 #9)
+        samples[name] = obs
+        results[name] = min(obs)
         return out
 
     # repeats=3 on the headline line: the host throttles in multi-second
@@ -256,6 +261,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": sf_name.removeprefix("sf"),
+        "samples": samples,
         **extra,
     }))
 

@@ -356,6 +356,77 @@ def mixture_sample(df: DataFrame, id_col: str, source_col: str,
                 .otherwise(F.array().cast("array<long>")))))
 
 
+def temperature_mixture(df: DataFrame, id_col: str, source_col: str,
+                        alpha: float = 0.5, target_total: int | None = None,
+                        salt: str = "") -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-pretraining
+    recipe (sample source i with probability ∝ n_i^α, α<1 upweights tail
+    sources): derives per-source epoch factors e_i = T·q_i/n_i with
+    q_i = n_i^α / Σ_j n_j^α from the corpus itself, then applies the same
+    deterministic floor+hash-gated copy arithmetic as ``mixture_sample``.
+    T defaults to the corpus size (output expected count ≈ input count).
+
+    Scale shape: ONE G-row groupBy count (G = bounded source domain — the
+    same driver-side composition rule as the KMV overlap matrix), then a
+    join- and shuffle-free row-local explode; the corpus is scanned once.
+
+    Cross-engine determinism: factors are quantized ONCE to integer
+    micro-epochs e6 = ⌊1e6·T·n^α / (S·n) + 0.5⌋; full copies (e6 div 1e6)
+    and the u32 hash threshold ((e6 mod 1e6)·2^32 div 1e6) are then pure
+    integer arithmetic embedded as per-source literals, so the emitted
+    copy set is exactly reproducible by any engine that reaches the same
+    e6 (the oracle recomputes it with the identical expression tree; Σ is
+    an ascending-source sequential fold on both sides; n^0.5 = IEEE sqrt
+    is exactly reproducible — non-half-integer α inherits libm pow and is
+    documented as engine-dependent in the last ulp).
+
+    → input columns + ``copy`` (1-based).  NULL ids are dropped (no
+    stable hash — same rule as mixture_sample)."""
+    import math
+    if not (math.isfinite(alpha) and alpha > 0):
+        raise ValueError("alpha must be finite > 0")
+    base = df.where(F.col(id_col).isNotNull())
+    counts = {r[0]: r[1] for r in
+              base.groupBy(source_col).count().collect()}
+    # NULL sources have no temperature weight — they fall through every
+    # per-source branch to the 0-copy default (dropped), like NULL ids
+    counts.pop(None, None)
+    if not counts:
+        return base.withColumn("copy", F.lit(1).cast("long")).limit(0)
+    total = sum(counts.values())
+    T = float(total if target_total is None else target_total)
+    if T < 0 or not math.isfinite(T):
+        raise ValueError("target_total must be finite >= 0")
+    # ascending-source sequential fold — mirrored by the oracle's
+    # list_sum(list(... ORDER BY source)) so S is bit-identical
+    S = 0.0
+    weights = {}
+    for s in sorted(counts):
+        # α=0.5 routes through IEEE sqrt (exactly reproducible in any
+        # engine); other α use libm pow, engine-dependent in the last ulp
+        weights[s] = (math.sqrt(counts[s]) if alpha == 0.5
+                      else float(counts[s]) ** alpha)
+        S += weights[s]
+    e6 = {s: int(math.floor(1000000.0 * T * weights[s]
+                            / (S * counts[s]) + 0.5))
+          for s in counts}
+    h = _hash_u32(id_col, salt + "tmix")
+    full_col = F.lit(0).cast("long")
+    thr_col = F.lit(0).cast("long")
+    for s in sorted(counts):
+        full_col = F.when(F.col(source_col) == s,
+                          F.lit(e6[s] // 1000000).cast("long")
+                          ).otherwise(full_col)
+        thr_col = F.when(F.col(source_col) == s,
+                         F.lit((e6[s] % 1000000) * 4294967296
+                               // 1000000).cast("long")).otherwise(thr_col)
+    n_copies = full_col + (h < thr_col).cast("long")
+    return base.withColumn("copy", F.explode(
+        F.when(n_copies >= 1,
+               F.sequence(F.lit(1).cast("long"), n_copies))
+        .otherwise(F.array().cast("array<long>"))))
+
+
 def trim_by_group_rank(df: DataFrame, col: str, group_col: str,
                        lower_q: float = 0.0, upper_q: float = 1.0,
                        keep_rank: bool = False) -> DataFrame:

@@ -249,6 +249,20 @@ def q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "copy")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based source rebalancing (sampling.temperature_mixture,
+    α=0.5): per-source epoch factors derived from the corpus's own counts
+    (q_i ∝ √n_i), quantized once to integer micro-epochs so every copy /
+    hash-threshold decision downstream is pure integer arithmetic.  The
+    oracle recomputes the identical expression tree (ascending-source
+    sequential Σ via ordered list_sum, IEEE sqrt, same ⌊·1e6+0.5⌋
+    quantization, same md5 gate) with generate_series."""
+    docs = _docs(spark, sf_dir)
+    return sampling.temperature_mixture(docs, "doc_id", "source",
+                                        alpha=0.5) \
+        .select("doc_id", "source", "copy")
+
+
 def q_trim_by_group_rank(spark, sf_dir):
     """Per-source rank-based length trimming (sampling.trim_by_group_rank):
     keep docs whose n_chars percent_rank within their source lies in
@@ -1116,6 +1130,7 @@ PIPELINE_QUERIES = {
     "docs_pack_offsets": q_pack_offsets,
     "docs_epoch_shuffle": q_epoch_shuffle,
     "docs_mixture_sample": q_mixture_sample,
+    "docs_temperature_mixture": q_temperature_mixture,
     "text_tfidf_top_terms": q_tfidf_top_terms,
     "docs_trim_by_group_rank": q_trim_by_group_rank,
     "streaming_exact_dedup": q_streaming_exact_dedup,
@@ -1308,6 +1323,38 @@ n AS (
          CAST(floor(e) AS BIGINT)
            + CASE WHEN h < CAST(floor((e - floor(e)) * 4294967296.0)
                                AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM base)
+SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+FROM n, unnest(generate_series(1, n_copies)) AS u(copy)
+WHERE n_copies >= 1
+"""
+
+_TMIX_SQL = """
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY source),
+tot AS (
+  SELECT list_sum(list(sqrt(n) ORDER BY source)) AS S,
+         CAST(sum(n) AS DOUBLE) AS T
+  FROM cnt),
+-- identical expression tree to sampling.temperature_mixture: one float
+-- quantization to integer micro-epochs, then pure integer copy arithmetic
+e AS (
+  SELECT source,
+         CAST(floor(1000000.0 * T * sqrt(n) / (S * n) + 0.5) AS BIGINT) AS e6
+  FROM cnt, tot),
+base AS (
+  SELECT d.doc_id, d.source,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'),
+                              1, 8)) AS BIGINT) AS h,
+         e.e6
+  FROM documents d JOIN e USING (source)
+  WHERE d.doc_id IS NOT NULL),
+n AS (
+  SELECT doc_id, source,
+         e6 // 1000000
+           + CASE WHEN h < (e6 % 1000000) * 4294967296 // 1000000
                   THEN 1 ELSE 0 END AS n_copies
   FROM base)
 SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
@@ -1721,6 +1768,7 @@ def pipeline_oracles() -> dict[str, str]:
         "docs_pack_offsets": _PACK_SQL,
         "docs_epoch_shuffle": _SHUFFLE_SQL,
         "docs_mixture_sample": _MIX_SQL,
+        "docs_temperature_mixture": _TMIX_SQL,
         "text_tfidf_top_terms": _TFIDF_SQL,
         "docs_trim_by_group_rank": """
             SELECT doc_id, source, n_chars, pct_rank

@@ -1240,7 +1240,9 @@ _HEAD = [
     # validation + int64-exact weighted accumulation on its probe path
     "docs_pii_scan",
     "countsketch_point_f2",
-    # (a) r4-green rows, two rounds old — 30 of 46 fit; the remaining 16
+    # (b) new in r6: temperature-based source rebalancing
+    "docs_temperature_mixture",
+    # (a) r4-green rows, two rounds old — 29 of 46 fit; the remaining 17
     # are first in line for r7 (annotated at the top of the tail)
     "blocked_bloom_xxh3_doc_membership",
     "hll_distinct_per_source",
@@ -1271,9 +1273,12 @@ _HEAD = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "top_customer_per_nation",
 ]
 _TAIL = [
+    # r4-green, displaced from the head by the new docs_temperature_mixture
+    # row — stock relational shape covered by the 17 head TPC-H rows;
+    # first in line for r7 with the 16 below
+    "top_customer_per_nation",
     # r4-green rows that did NOT fit the 50-slot head this round (r6 code
     # untouched) — FIRST in line for the r7 head under rule (a).  Covering
     # head siblings for the interim: the embedding_* family shares the

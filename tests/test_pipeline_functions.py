@@ -1199,3 +1199,64 @@ def test_quantile_drift_ks_matches_scipy_style_recompute(spark):
     ks_est, eps = quantile_drift_ks(df, "source", "n_tok", "a", "b", k=200)
     assert abs(ks_est - ks_true) <= 3 * eps
     assert ks_est > 0.1               # the shift is detected
+
+
+def test_temperature_mixture_multiplicities_match_recompute(spark, docs):
+    """temperature_mixture(α=0.5): per-doc copy counts must equal a full
+    local recompute of the micro-epoch quantization + md5 gate, expected
+    output size ≈ corpus size, and α<1 must rebalance toward tail sources
+    (smaller source gets a HIGHER epoch factor than a bigger one)."""
+    import hashlib
+    import math
+    from bloom_filter_spark.functions.sampling import temperature_mixture
+    out = temperature_mixture(docs, "doc_id", "source", alpha=0.5).collect()
+    rows = docs.select("doc_id", "source").collect()
+    counts = {}
+    for r in rows:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    T = float(len(rows))
+    S = 0.0
+    for s in sorted(counts):
+        S += math.sqrt(counts[s])
+    e6 = {s: int(math.floor(1000000.0 * T * math.sqrt(counts[s])
+                            / (S * counts[s]) + 0.5)) for s in counts}
+    want = {}
+    for r in rows:
+        h = int(hashlib.md5(f"{r.doc_id}tmix".encode()).hexdigest()[:8], 16)
+        n = e6[r.source] // 1000000 + (
+            1 if h < (e6[r.source] % 1000000) * 4294967296 // 1000000 else 0)
+        if n >= 1:
+            want[r.doc_id] = n
+    got = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    assert got == want
+    # expected total ≈ T (each doc's expected multiplicity is its source's
+    # e6/1e6; sum over docs ≈ T by construction)
+    exp_total = sum(counts[s] * e6[s] / 1e6 for s in counts)
+    assert abs(exp_total - T) < 1.0
+    assert abs(len(out) - T) < 6 * math.sqrt(T)   # hash-gate binomial noise
+    # rebalancing direction: smaller source ⇒ larger factor
+    big = max(counts, key=lambda s: counts[s])
+    small = min(counts, key=lambda s: counts[s])
+    if counts[big] > counts[small]:
+        assert e6[small] > e6[big]
+    # α=1 is the identity mixture: every factor quantizes to exactly 1e6
+    out1 = temperature_mixture(docs, "doc_id", "source", alpha=1.0).collect()
+    assert {r.doc_id for r in out1} == {r.doc_id for r in rows}
+    assert len(out1) == len(rows)
+
+
+def test_temperature_mixture_validates_and_drops_nulls(spark):
+    import pytest as _pytest
+    from bloom_filter_spark.functions.sampling import temperature_mixture
+    df = spark.createDataFrame(
+        [(None, "a"), ("d1", "a"), ("d2", None)],
+        "doc_id string, source string")
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, "doc_id", "source", alpha=0.0)
+    out = temperature_mixture(df, "doc_id", "source", alpha=0.5).collect()
+    ids = {r.doc_id for r in out}
+    assert None not in ids          # NULL id dropped
+    assert "d2" not in ids          # NULL source: no weight, dropped
+    assert "d1" in ids

@@ -40,8 +40,14 @@ def canon(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import __spark_entry__ as entrymod
     from bloom_filter_spark.session import get_spark
 
@@ -55,6 +61,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -63,16 +70,20 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"ok": False, "err": f"spark error: {e}"[:300]}
             failures += 1
             continue
         took = time.time() - t0
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} ({took:.1f}s, no oracle)")
+            record[name] = {"ok": True, "rows": len(sdf), "sec": round(took, 2),
+                            "weak": "no oracle"}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            record[name] = {"ok": False, "err": f"oracle error: {e}"[:300]}
             failures += 1
             continue
         problems = []
@@ -87,10 +98,22 @@ def main() -> int:
                   odf.reindex(sorted(odf.columns), axis=1).head(3).to_string())
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({took:.1f}s)")
+            record[name] = {"ok": False, "err": "; ".join(problems),
+                            "sec": round(took, 2)}
             failures += 1
         else:
             print(f"ok    {name}: rows={len(sdf)} hash match ({took:.1f}s)")
+            record[name] = {"ok": True, "rows": len(sdf), "sec": round(took, 2)}
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import json as _json
+        ok = sum(1 for r in record.values() if r["ok"])
+        with open(json_path, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(record),
+                        "n_ok": ok, "all_ok": failures == 0,
+                        "total_spark_sec": round(sum(
+                            r.get("sec", 0) for r in record.values()), 1),
+                        "queries": record}, f, indent=1)
     return 1 if failures else 0
 
 

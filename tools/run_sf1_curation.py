@@ -111,6 +111,19 @@ def main() -> None:
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
             times[name] = round(best, 3)
+        # quantized ANN rides the embeddings fixture twin (VERDICT r5 #7):
+        # broadcast query set + int8 corpus scan + window top-k — the
+        # retention check is per-VECTOR throughput at 10× the vectors
+        from bloom_filter_spark.functions import similarity
+        emb = spark.read.parquet(f"{dd}/embeddings.parquet")
+        emb.count()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            similarity.quantized_topk(emb, list(range(20)), k=5).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        times["quantized_topk"] = round(best, 3)
         out["scales"][sf] = {"n_docs": n_docs, "times_s": times}
     for name in out["scales"]["sf0.1"]["times_s"]:
         t01 = out["scales"]["sf0.1"]["times_s"][name]
