@@ -756,9 +756,18 @@ def q_streaming_late_data_drop(spark, sf_dir):
                       F.col("n").cast("long").alias("n"), "sum_value")
 
 
-def _late_drop_sql(sf_dir_abs: str = "/root/testdata/sf0.01") -> str:
-    # pinned to the driver's correctness scale, same convention as the
-    # simhash signature fixture; the fixture is sf-independent anyway
+def _oracle_sf_dir() -> str:
+    """Testdata dir the ORACLE side should read fixtures for: the driver
+    gates at sf0.01; a local gate at another scale exports
+    SPARK_GRAFT_ORACLE_SF (e.g. 'sf0.1') so fixture-backed oracles follow
+    the gated scale instead of silently pinning sf0.01 (first sf0.1 gate
+    run reported 24 false mismatches from exactly that pin)."""
+    return "/root/testdata/" + os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                                              "sf0.01")
+
+
+def _late_drop_sql(sf_dir_abs: str | None = None) -> str:
+    sf_dir_abs = sf_dir_abs or _oracle_sf_dir()
     d = _late_events_stream_dir(sf_dir_abs)
     files = os.path.join(d, "part-*.parquet").replace("'", "''")
     return f"""
@@ -1502,13 +1511,14 @@ _COSINE_NEARDUP_SQL = f"""
 """
 
 
-def _wsample_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _wsample_fixture(sf_dir: str | None = None) -> str:
     """Log-key table for the weighted_sample_docs oracle: A-ES keys per doc
     computed DRIVER-SIDE with plain numpy over the documents parquet (an
     independent execution path from the mapInPandas kernel), written once.
     The DuckDB oracle re-sorts them and takes the same top-k — checking the
     distributed key computation AND the TakeOrderedAndProject selection."""
     from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    sf_dir = sf_dir or _oracle_sf_dir()
     sf_name = sf_name_of_dir(sf_dir)
     out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name,
                        "wsample_logkeys.parquet")
@@ -1533,7 +1543,10 @@ def _wsample_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
 def _wsample_sql() -> str:
     path = _wsample_fixture()
     return f"""
-        SELECT t.doc_id, d.n_chars, round(t.logkey, 6) AS logkey
+        -- + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign of a
+        -- tiny negative; Spark's round returns +0.0 — found at sf0.1 where
+        -- the best A-ES key rounds to zero)
+        SELECT t.doc_id, d.n_chars, round(t.logkey, 6) + 0.0 AS logkey
         FROM (SELECT doc_id, logkey FROM read_parquet('{path}')
               ORDER BY logkey DESC, doc_id LIMIT {WSAMPLE_K}) t
         JOIN documents d ON t.doc_id = d.doc_id
@@ -1543,7 +1556,7 @@ def _wsample_sql() -> str:
 def _wsample_group_sql() -> str:
     path = _wsample_fixture()
     return f"""
-        SELECT doc_id, source, n_chars, round(logkey, 6) AS logkey
+        SELECT doc_id, source, n_chars, round(logkey, 6) + 0.0 AS logkey
         FROM (SELECT t.doc_id, d.source, d.n_chars, t.logkey,
                      row_number() OVER (PARTITION BY d.source
                                         ORDER BY t.logkey DESC, t.doc_id) AS rn
@@ -1553,7 +1566,7 @@ def _wsample_group_sql() -> str:
     """
 
 
-def _simhash_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _simhash_fixture(sf_dir: str | None = None) -> str:
     """Signature table for the dedup_simhash oracle: simhash per doc computed
     DRIVER-SIDE with plain pandas/numpy over the documents parquet (no Spark
     — an independent execution path from the mapInPandas kernel), written
@@ -1562,6 +1575,7 @@ def _simhash_fixture(sf_dir: str = "/root/testdata/sf0.01") -> str:
     and the multi-probe banding's exact-recall claim.
     """
     from ..sources.fixtures import FIXTURE_ROOT, sf_name_of_dir
+    sf_dir = sf_dir or _oracle_sf_dir()
     sf_name = sf_name_of_dir(sf_dir)
     out = os.path.join(os.path.abspath(FIXTURE_ROOT), sf_name,
                        "simhash_sigs.parquet")

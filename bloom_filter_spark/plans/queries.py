@@ -16,6 +16,8 @@ value hash, columns sorted by name):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -948,7 +950,12 @@ SKETCH_QUERIES = {
 
 
 def sketch_oracles() -> dict[str, str]:
-    fx = ensure_fixtures("sf0.01")  # the driver's correctness scale
+    # The driver always gates at sf0.01; a local gate at another scale
+    # (tools/check_correctness.py) exports SPARK_GRAFT_ORACLE_SF so the
+    # token-fixture oracles read the SAME scale the Spark queries run at —
+    # without this every fixture-backed oracle silently pins sf0.01 and a
+    # 10× gate reports false mismatches (found by the first sf0.1 gate run)
+    fx = ensure_fixtures(os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01"))
     tok = f"read_parquet('{fx}/tokens.parquet')"
     qs_rows = ", ".join(f"(CAST({q} AS DOUBLE), TRUE)" for q in QS)
     qb_sql = f"SELECT * FROM (VALUES {qs_rows}) t(q, within_bound)"

@@ -48,6 +48,9 @@ def main() -> int:
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    # fixture-backed oracles must read the SAME scale the queries run at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = os.path.basename(
+        sf_dir.rstrip("/"))
     import __spark_entry__ as entrymod
     from bloom_filter_spark.session import get_spark
 
