@@ -141,12 +141,20 @@ def ensure_fixtures(sf_name: str, root: str | None = None) -> str:
     tmp = tempfile.mkdtemp(prefix=f".{sf_name}_", dir=root)
     try:
         generate(sf_name, tmp)
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         try:
-            os.rename(tmp, final)
+            os.rename(tmp, final)  # fast path: we own the whole scale dir
         except OSError:
-            if not os.path.exists(marker):  # genuine failure, not a race
-                raise
+            if not os.path.exists(marker):
+                # dir already exists — either we lost a create race (marker
+                # appears, nothing to do) or the docs/embeddings twins
+                # landed first (ensure_doc_fixtures shares the scale dir
+                # under its own _SUCCESS_DOCS marker): land each file via
+                # atomic per-file replace, the marker last — the same
+                # coexistence strategy the docs side already uses
+                os.makedirs(final, exist_ok=True)
+                for f in sorted(os.listdir(tmp)):
+                    os.replace(os.path.join(tmp, f), os.path.join(final, f))
+        open(marker, "w").close()
     finally:
         if os.path.exists(tmp) and os.path.exists(marker) and tmp != final:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -202,3 +202,24 @@ def test_single_bucket_quantile_partitioning(spark):
     df = spark.range(100).selectExpr("id", "id * 1.5 as v")
     out = repartition_by_quantiles(df, "v", 1)  # zero interior boundaries
     assert out.count() == 100
+
+
+def test_token_fixtures_land_when_doc_twins_exist(tmp_path):
+    """ensure_fixtures used a whole-directory rename, which raised ENOTEMPTY
+    whenever ensure_doc_fixtures had created the scale dir first (found by
+    the sf1 endurance harness, where the drift lines request the token
+    fixture after the documents twins).  The fallback must land every file
+    via per-file replace."""
+    from bloom_filter_spark.sources.fixtures import (ensure_doc_fixtures,
+                                                     ensure_fixtures)
+    root = str(tmp_path)
+    ensure_doc_fixtures("sf0.001", root=root)          # docs twins first
+    out = ensure_fixtures("sf0.001", root=root)        # then tokens
+    import os
+    for f in ("tokens.parquet", "probes_present.parquet",
+              "probes_absent.parquet", "doc_probes_present.parquet",
+              "doc_probes_absent.parquet", "_SUCCESS",
+              "documents.parquet", "embeddings.parquet", "_SUCCESS_DOCS"):
+        assert os.path.exists(os.path.join(out, f)), f
+    # idempotent re-entry takes the marker fast path
+    assert ensure_fixtures("sf0.001", root=root) == out
