@@ -78,10 +78,22 @@ def token_distribution_drift(df: DataFrame, group_col: str, tokens_col: str,
     counts = flat.groupBy("t").agg(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"))
-    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
-                        F.count("*").alias("v"))
+    # totals (na, nb, v) as UNPARTITIONED window aggregates over the
+    # vocab-sized counts table — NOT a separately-aggregated broadcast:
+    # Spark plans a broadcast-totals subquery independently and does not
+    # reuse the corpus exchange across it, so that shape scans + explodes
+    # the corpus TWICE (measured: two consecutive full-corpus stages, sf1
+    # drift 99.6 s → 46 s after this change).  The window costs one
+    # Exchange of ~V rows into a single task — V is the union vocabulary,
+    # bounded and ≪ corpus by definition, so this is the cheaper hop at
+    # any corpus scale.
+    w = Window.partitionBy()
     s = float(smoothing)
-    joined = counts.crossJoin(F.broadcast(totals))
+    joined = counts.select(
+        "ca", "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+        F.count("*").over(w).alias("v"))
     p = (F.col("ca") + F.lit(s)) / (F.col("na") + F.lit(s) * F.col("v"))
     q = (F.col("cb") + F.lit(s)) / (F.col("nb") + F.lit(s) * F.col("v"))
     return (joined
