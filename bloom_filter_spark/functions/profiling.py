@@ -163,13 +163,18 @@ def exact_ks(df: DataFrame, group_col: str, value_col: str,
     cnt = two.groupBy("v").agg(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"))
-    totals = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # totals ride the SAME single-partition ordered window the cumulative
+    # sums already pay for (full-frame variant) — a broadcast-totals
+    # subquery would be planned independently and re-scan the corpus
+    # (the token_distribution_drift double-scan, same fix)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
-    cum = (cnt.crossJoin(F.broadcast(totals))
-           .select("na", "nb",
-                   F.sum("ca").over(w).alias("cuma"),
-                   F.sum("cb").over(w).alias("cumb")))
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    cum = cnt.select(F.sum("ca").over(wall).alias("na"),
+                     F.sum("cb").over(wall).alias("nb"),
+                     F.sum("ca").over(w).alias("cuma"),
+                     F.sum("cb").over(w).alias("cumb"))
     num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
     return (cum.groupBy("na", "nb").agg(F.max(num).alias("maxnum"))
             .select(F.lit(group_a).alias("group_a"),

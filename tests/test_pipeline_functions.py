@@ -1132,6 +1132,13 @@ def test_token_distribution_drift_single_corpus_scan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Generate explode") == 1
     assert plan.count("LocalTableScan") + plan.count("Scan ") == 1
+    # exact_ks: totals ride the cumulative window's sort — same invariant
+    from bloom_filter_spark.functions.profiling import exact_ks
+    kdf = spark.createDataFrame([("a", 1), ("a", 2), ("b", 2)],
+                                "source string, n int")
+    kplan = (exact_ks(kdf, "source", "n", "a", "b")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert kplan.count("LocalTableScan") + kplan.count("Scan ") == 1
 
 
 def test_pii_scan_counts_and_redaction(spark):
