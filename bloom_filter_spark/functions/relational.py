@@ -550,9 +550,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier(s) achieving the maximum.  Revenue is rounded BEFORE the
     max comparison so the equality join is engine-deterministic.
 
-    Plan shape: one hash agg on l_suppkey, a single-row global max
-    broadcast back (no window over an unpartitioned frame), supplier dim
-    broadcast for the name lookup."""
+    Plan shape: ONE lineitem scan — one hash agg on l_suppkey, then the
+    global max as an unpartitioned window over the per-SUPPLIER aggregate
+    (state-sized single-task hop, suppliers ≪ lineitem at any SF).  The
+    broadcast-max-scalar alternative plans the max subquery independently
+    and Spark does not reuse the revenue exchange across it, so the fact
+    table is scanned and aggregated TWICE (verified on the executed plan:
+    two distinct lineitem FileScans) — the same double-scan the Q11/Q20
+    rework removed.  Supplier dim broadcasts for the name lookup."""
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
                  & (F.col("l_shipdate") < F.lit("1996-04-01")))
@@ -561,11 +566,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 4)
                  .alias("total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_name")
-    return (rev.join(F.broadcast(mx),
-                     rev.total_revenue == F.col("max_revenue"))
+    return (rev.withColumn("max_revenue",
+                           F.max("total_revenue").over(Window.partitionBy()))
+            .where(F.col("total_revenue") == F.col("max_revenue"))
             .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey"))

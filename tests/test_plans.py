@@ -194,3 +194,15 @@ def test_tpch_q21_windows_share_one_sort(spark):
         ln for ln in p.splitlines()
         if "Exchange hashpartitioning(l_orderkey" in ln]
     assert len(agg_and_window_exchanges) <= 2
+
+
+def test_tpch_q15_single_scan_window_max(spark):
+    """Q15: the global revenue max attaches via an unpartitioned window
+    over the per-SUPPLIER aggregate — the broadcast-max-scalar shape
+    planned its subquery independently and scanned lineitem twice."""
+    from bloom_filter_spark.functions import relational
+    p = _plan(relational.tpch_q15(spark, "/root/testdata/sf0.001"))
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
