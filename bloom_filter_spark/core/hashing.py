@@ -298,6 +298,34 @@ def hash64_str(values, seed: int = DEFAULT_SEED) -> np.ndarray:
     return hash64_bytes(enc, seed)
 
 
+def compact_i32_counts(values) -> tuple[np.ndarray, np.ndarray] | None:
+    """Collapse duplicate int32 keys to (unique values, int64 counts) with ONE
+    O(N + range) bincount pass — no sort.  Returns None when collapsing cannot
+    pay: small batches (fixed overhead beats the savings) or a value range so
+    wide the counting array would cost more than the duplicates save.
+
+    Zipfian token batches (the engine's hot input shape: ~1.3M draws from a
+    ~50k vocab per Arrow batch) collapse ~31×, so every downstream
+    hash/index/scatter pass runs on the distinct domain instead of the raw
+    stream.  Safe ONLY for multiset-insensitive updates (Bloom/blocked-bloom/
+    HLL bits and registers ignore multiplicity) or weight-additive ones
+    (CMS/Count-Sketch counters fold the counts back in) — callers own that
+    argument; order-sensitive sketches (KLL/t-digest/MG) must not use this.
+    """
+    v = np.asarray(values)
+    if v.dtype != np.int32 or v.size < 4096:
+        return None
+    n = v.size
+    vmin = int(v.min())
+    vmax = int(v.max())
+    rng = vmax - vmin + 1
+    if rng > 2 * n + 65536:
+        return None
+    c = np.bincount(v - np.int32(vmin), minlength=rng)
+    nz = np.flatnonzero(c)
+    return (nz + vmin).astype(np.int32, copy=False), c[nz]
+
+
 def split_h1_h2(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Split a 64-bit hash into (lo32, hi32) — reference filter/hash.go:7-8."""
     h1 = h & U64(0xFFFFFFFF)

@@ -174,10 +174,21 @@ def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
                 sk, state = _get(bc, key)
             c = b.column(0)
             if value_kind == "i32_array":
+                from ..core.hashing import compact_i32_counts
                 if c.null_count:
                     c = c.drop_null()
                 vals = c.flatten().to_numpy(zero_copy_only=False).astype(
                     np.int32, copy=False)
+                # only the (n_probed, n_member) aggregate leaves this scan,
+                # so duplicate keys can be probed once and counted back in —
+                # identical totals, k probe passes on the distinct domain
+                packed = compact_i32_counts(vals)
+                if packed is not None:
+                    uvals, cnts = packed
+                    member = sk.contains_i32(state, uvals)
+                    n += int(cnts.sum())
+                    hits += int(cnts[member].sum())
+                    continue
                 member = sk.contains_i32(state, vals)
             elif value_kind == "str":
                 from ..core.hashing import arrow_strbuf

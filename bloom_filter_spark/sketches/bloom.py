@@ -134,6 +134,13 @@ class BloomSketch:
         return fn(values, p.seed)
 
     def update_i32(self, state: np.ndarray, values: np.ndarray) -> None:
+        # a key's multiplicity never matters to a bit filter: collapse
+        # duplicates first so hash + K-M expansion + scatter run on the
+        # distinct domain (zipfian token batches shrink ~31×, bit-identical
+        # final state — same bits set either way)
+        packed = hashing.compact_i32_counts(values)
+        if packed is not None:
+            values = packed[0]
         self._update_hashes(state, self._hash(values, "i32"))
 
     def update_i64(self, state: np.ndarray, values: np.ndarray) -> None:

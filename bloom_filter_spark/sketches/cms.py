@@ -74,6 +74,13 @@ class CMSSketch:
         return (mixed % np.uint64(self.params.w)).astype(np.int64)
 
     def _update(self, state, values, kind, weights=None) -> None:
+        if weights is None and kind == "i32":
+            # counters are weight-additive: collapsing duplicates to
+            # (unique, count) and adding counts yields bit-identical cells
+            # while hash + d-row index/scatter run on the distinct domain
+            packed = hashing.compact_i32_counts(values)
+            if packed is not None:
+                values, weights = packed
         h = self._hash(values, kind)
         p = self.params
         if p.conservative:
@@ -95,10 +102,21 @@ class CMSSketch:
             for j in range(p.d):
                 np.maximum.at(state[j], idx[j], new)
             return
+        w64 = None if weights is None else np.asarray(weights, np.int64)
+        # float64-weighted bincount is exact while every partial per-cell sum
+        # stays an integer below 2^53 — guaranteed when the batch's total
+        # weight is; the (never-seen-in-practice) overflow-risk batch falls
+        # back to the slower int64-exact np.add.at
+        w_exact = w64 is not None and int(w64.sum()) < (1 << 52)
         for j in range(p.d):
             idx = self._row_idx_from(h, j)
-            state[j] += np.bincount(idx, weights=weights,
-                                    minlength=p.w).astype(np.int64)
+            if w64 is None:
+                state[j] += np.bincount(idx, minlength=p.w)
+            elif w_exact:
+                state[j] += np.bincount(idx, weights=w64,
+                                        minlength=p.w).astype(np.int64)
+            else:
+                np.add.at(state[j], idx, w64)
 
     def update_i32(self, state, values, weights=None) -> None:
         self._update(state, values, "i32", weights)

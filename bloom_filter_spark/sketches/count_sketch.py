@@ -102,6 +102,13 @@ class CountSketch:
         no per-row float accumulation, no ±1 multiply for the unit-weight
         case.  Produces bit-identical counters to the per-row reference
         loop (pytest pins merge/serde/point equality)."""
+        if weights is None and kind == "i32":
+            # signed counters are weight-additive: collapse duplicates to
+            # (unique, count) — bit-identical cells, all d hash/scatter
+            # passes on the distinct domain instead of the raw stream
+            packed = hashing.compact_i32_counts(values)
+            if packed is not None:
+                values, weights = packed
         h, hs = self._hashes(values, kind)
         p = self.params
         if h.size == 0:
@@ -109,22 +116,31 @@ class CountSketch:
         h1, h2 = hashing.split_h1_h2(h)
         s1, s2 = hashing.split_h1_h2(hs)
         wv = None if weights is None else np.asarray(weights, np.int64)
+        # float64-weighted bincount is exact while every partial per-bucket
+        # sum is an integer with magnitude < 2^53 — guaranteed when the
+        # batch's total |weight| is (ADVICE r5's precision hazard applies
+        # only beyond that); overflow-risk batches keep the int64 add.at
+        w_exact = wv is not None and int(np.abs(wv).sum()) < (1 << 52)
         uw = np.uint64(p.w)
+        pow2 = (p.w & (p.w - 1)) == 0
+        wmask = np.uint64(p.w - 1)
         with np.errstate(over="ignore"):
             for row in range(p.d):
                 uj = np.uint64(row)
-                bucket = (h1 + uj * h2) % uw
+                mixed = h1 + uj * h2
+                bucket = (mixed & wmask) if pow2 else (mixed % uw)
                 sbit = ((s1 + uj * s2) >> np.uint64(31)) & np.uint64(1)
                 if wv is None:
                     comb = (bucket + uw * sbit).astype(np.int64)
                     c = np.bincount(comb, minlength=2 * p.w)
                     state[row] += c[:p.w]
                     state[row] -= c[p.w:]
+                elif w_exact:
+                    sw = (1 - 2 * sbit.astype(np.int64)) * wv
+                    state[row] += np.bincount(
+                        bucket.astype(np.int64), weights=sw,
+                        minlength=p.w).astype(np.int64)
                 else:
-                    # np.add.at keeps the accumulation in int64 end-to-end:
-                    # a float64-weighted bincount silently loses integer
-                    # precision once a per-bucket batch sum passes 2^53,
-                    # breaking the bit-identical-counters claim (ADVICE r5)
                     sw = (1 - 2 * sbit.astype(np.int64)) * wv
                     np.add.at(state[row], bucket.astype(np.int64), sw)
 

