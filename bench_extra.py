@@ -27,6 +27,17 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _proc_cpu_s() -> float:
+    """Whole-VM user+nice+system CPU seconds from /proc/stat.  Captures the
+    JVM *and* the Python workers (REST executorCpuTime sees only JVM task
+    threads), and host contention shows up as steal — which this number
+    excludes — so per-line deltas are contention-immune total-CPU evidence."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    hz = os.sysconf("SC_CLK_TCK")
+    return (int(parts[1]) + int(parts[2]) + int(parts[3])) / hz
+
+
 def _rest(spark, path):
     base = spark.sparkContext.uiWebUrl
     with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10) as r:
@@ -90,20 +101,30 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, repeats: int = 2):
+        """Each line runs ``repeats`` times; the per-run process-tree CPU
+        rides along so first-run JIT warmup is separable from steady state
+        (the reported cpu_proc_s is the min across runs)."""
         if only is not None and name not in only:
             return None
+        out = None
+        walls, cpus_proc = [], []
         before = {s["stageId"] for s in _rest(spark, "/stages")}
         sc.setJobGroup(name, name)
         sc.setJobDescription(name)
-        t0 = time.time()
-        out = fn()
-        wall = time.time() - t0
+        for _ in range(repeats):
+            c0 = _proc_cpu_s()
+            t0 = time.time()
+            out = fn()
+            walls.append(round(time.time() - t0, 3))
+            cpus_proc.append(round(_proc_cpu_s() - c0, 2))
         sc.setJobDescription(None)
         sc.setJobGroup("idle", "idle")
         stages = _rest(spark, "/stages")
         new_ids = {s["stageId"] for s in stages} - before
-        results[name] = {"wall_s": round(wall, 3),
+        results[name] = {"wall_s": min(walls), "wall_samples": walls,
+                         "cpu_proc_s": min(cpus_proc),
+                         "cpu_proc_samples": cpus_proc,
                          **_stage_totals(stages, new_ids)}
         print(name, json.dumps(results[name]), flush=True)
         return out
@@ -240,6 +261,8 @@ def main() -> None:
         "pkg": os.path.dirname(os.path.abspath(bloom_filter_spark.__file__)),
         "sf": sf_name.removeprefix("sf"), "cpus": cpus,
         "cpu_total_s": round(sum(r["cpu_s"] for r in results.values()), 3),
+        "cpu_proc_total_s": round(
+            sum(r["cpu_proc_s"] for r in results.values()), 2),
         "wall_total_s": round(sum(r["wall_s"] for r in results.values()), 3),
         "queries": results,
     }

@@ -165,6 +165,76 @@ def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
     bc = spark.sparkContext.broadcast(blob)
     key = _cache_key(blob, kind)
 
+    def _probe_arrow_column(sk, state, c):
+        """One pyarrow Array → (n_probed, n_member), shared by the JVM-fed
+        and native-scan branches so both probe identically."""
+        if value_kind == "i32_array":
+            from ..core.hashing import compact_i32_counts
+            if c.null_count:
+                c = c.drop_null()
+            vals = c.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int32, copy=False)
+            # only the (n_probed, n_member) aggregate leaves this scan,
+            # so duplicate keys can be probed once and counted back in —
+            # identical totals, k probe passes on the distinct domain
+            packed = compact_i32_counts(vals)
+            if packed is not None:
+                uvals, cnts = packed
+                member = sk.contains_i32(state, uvals)
+                return int(cnts.sum()), int(cnts[member].sum())
+            member = sk.contains_i32(state, vals)
+        elif value_kind == "str":
+            from ..core.hashing import arrow_strbuf
+            if c.null_count:
+                c = c.drop_null()
+            buf = arrow_strbuf(c)
+            if buf is not None:  # zero-copy UTF-8 straight off the scan
+                member = sk.contains_str(state, buf)
+            else:
+                member = sk.contains_str(
+                    state, [v for v in c.to_pylist() if v is not None])
+        else:
+            vals = c.to_numpy(zero_copy_only=False)
+            member = sk.contains_i32(state, np.asarray(vals, np.int32))
+        return len(member), int(member.sum())
+
+    # native-scan fast path (same eligibility rules as the build side): a
+    # bare projected parquet scan is read row-group-by-row-group with
+    # pyarrow inside the Python tasks — no JVM row↔Arrow transposition,
+    # identical (n_probed, n_member) totals from the same probe kernel
+    from .build import _attr_through_projects, _parquet_splits
+    info = _attr_through_projects(df.select(col), [col])
+    if info is not None:
+        (phys_col,), files = info
+        splits = _parquet_splits(spark, files, [phys_col])
+        if splits is not None:
+            splits_bc = spark.sparkContext.broadcast(splits)
+
+            def native_scan(batches):
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                sk, state = _get(bc, key)
+                n = hits = 0
+                for b in batches:
+                    for sid in b.column(0).to_pylist():
+                        for path, rgs in splits_bc.value[sid].items():
+                            pf = pq.ParquetFile(path)
+                            for rg in rgs:
+                                arr = pf.read_row_group(
+                                    rg, columns=[phys_col]).column(0) \
+                                    .combine_chunks()
+                                dn, dh = _probe_arrow_column(sk, state, arr)
+                                n += dn
+                                hits += dh
+                yield pa.RecordBatch.from_pydict({
+                    "n_probed": pa.array([n], pa.int64()),
+                    "n_member": pa.array([hits], pa.int64()),
+                })
+
+            driver = spark.range(0, len(splits), 1, len(splits))
+            return driver.mapInArrow(native_scan,
+                                     "n_probed long, n_member long")
+
     def scan(batches):
         import pyarrow as pa
         sk, state = None, None
@@ -172,39 +242,9 @@ def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
         for b in batches:
             if sk is None:
                 sk, state = _get(bc, key)
-            c = b.column(0)
-            if value_kind == "i32_array":
-                from ..core.hashing import compact_i32_counts
-                if c.null_count:
-                    c = c.drop_null()
-                vals = c.flatten().to_numpy(zero_copy_only=False).astype(
-                    np.int32, copy=False)
-                # only the (n_probed, n_member) aggregate leaves this scan,
-                # so duplicate keys can be probed once and counted back in —
-                # identical totals, k probe passes on the distinct domain
-                packed = compact_i32_counts(vals)
-                if packed is not None:
-                    uvals, cnts = packed
-                    member = sk.contains_i32(state, uvals)
-                    n += int(cnts.sum())
-                    hits += int(cnts[member].sum())
-                    continue
-                member = sk.contains_i32(state, vals)
-            elif value_kind == "str":
-                from ..core.hashing import arrow_strbuf
-                if c.null_count:
-                    c = c.drop_null()
-                buf = arrow_strbuf(c)
-                if buf is not None:  # zero-copy UTF-8 straight off the scan
-                    member = sk.contains_str(state, buf)
-                else:
-                    member = sk.contains_str(
-                        state, [v for v in c.to_pylist() if v is not None])
-            else:
-                vals = c.to_numpy(zero_copy_only=False)
-                member = sk.contains_i32(state, np.asarray(vals, np.int32))
-            n += len(member)
-            hits += int(member.sum())
+            dn, dh = _probe_arrow_column(sk, state, b.column(0))
+            n += dn
+            hits += dh
         yield pa.RecordBatch.from_pydict({
             "n_probed": pa.array([n], pa.int64()),
             "n_member": pa.array([hits], pa.int64()),
