@@ -397,9 +397,24 @@ def set_bits(bits: np.ndarray, idx: np.ndarray, m: int) -> None:
     else:
         words = (idx >> U64(6)).astype(np.int64)
         vals = U64(1) << (idx & U64(63))
-        np.bitwise_or.at(bits, words, vals)
+        # vectorized OR-scatter: fancy in-place |= lands ONE write per
+        # distinct word (duplicate words may drop bits), then the exact
+        # ufunc.at finishes only the verified stragglers — ~10× faster
+        # than bitwise_or.at on everything (numpy has no specialized
+        # indexed loop for bitwise_or, so .at runs ~94 ns/element)
+        bits[words] |= vals
+        lost = (bits[words] & vals) != vals
+        if lost.any():
+            np.bitwise_or.at(bits, words[lost], vals[lost])
 
 
 def max_reduce_at(regs: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
-    """regs[idx] = max(regs[idx], vals) with duplicate-index correctness."""
-    np.maximum.at(regs, idx, vals)
+    """regs[idx] = max(regs[idx], vals) with duplicate-index correctness.
+
+    Same verify-retry shape as set_bits: one vectorized gather/max/scatter
+    handles each distinct index once; duplicate indices that lost their
+    larger value are finished by the exact (but per-element) ufunc.at."""
+    regs[idx] = np.maximum(regs[idx], vals)
+    lost = regs[idx] < vals
+    if lost.any():
+        np.maximum.at(regs, idx[lost], vals[lost])

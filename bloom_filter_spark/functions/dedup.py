@@ -116,17 +116,23 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
              .persist())
     est = ev_sh.count()  # exact — also materializes the cache
     tr = _shingles(train, text_col, n)
-    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     if est <= max_driver_grams:
+        # small-eval route (r7): ONE train scan, ZERO Python — the broadcast
+        # hash join IS the exact membership test, so the former Bloom-probe
+        # pandas UDF (a BatchEvalPython pass over every train gram) and the
+        # separate n_grams scan both collapse into one JVM-only
+        # join+aggregate (guide §4.1: prefer built-ins when they exist; the
+        # Bloom prefilter earns its keep only on the giant-eval route below,
+        # where it guards a SHUFFLE join, not a broadcast probe).
         grams = [r.shingle for r in ev_sh.collect()]
         ev_sh.unpersist()
-        sketch = BloomSketch(BloomParams(n=max(len(grams), 64), p=p))
-        state = sketch.empty()
-        if grams:
-            sketch.update_str(state, grams)
-        blob = sketch.serialize(state)
         ev = spark.createDataFrame([(g,) for g in grams], "shingle string")
-        confirm = F.broadcast(ev)
+        flags = tr.join(F.broadcast(ev).withColumn("_m", F.lit(1)),
+                        "shingle", "left")
+        return (flags.groupBy("doc_id")
+                .agg(F.count("*").alias("n_grams"),
+                     F.count("_m").alias("n_contaminated"))
+                .withColumn("contaminated", F.col("n_contaminated") > 0))
     else:
         from ..operators import build_sketch
         sketch = BloomSketch(BloomParams(n=max(int(est * 1.3), 64), p=p))
@@ -139,6 +145,7 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
         ev_sh.unpersist()
         confirm = ev_sh
     probe = membership_udf(spark, blob, "bloom", "str")
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (tr.where(probe(F.col("shingle")))
             .join(confirm, "shingle")
             .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))

@@ -341,19 +341,37 @@ def mixture_sample(df: DataFrame, id_col: str, source_col: str,
             raise ValueError(f"epochs for {name!r} must be finite ≥ 0")
     if not (math.isfinite(default_epochs) and default_epochs >= 0):
         raise ValueError("default_epochs must be finite ≥ 0")
-    e_col = F.lit(float(default_epochs))
-    for name, e in epochs.items():
-        e_col = F.when(F.col(source_col) == name,
-                       F.lit(float(e))).otherwise(e_col)
-    n_full = F.floor(e_col).cast("long")
-    frac_thr = ((e_col - F.floor(e_col)) * F.lit(float(1 << 32))).cast("long")
+    # factors ride a broadcast-joined (source, full, thr) table instead of
+    # an O(G)-deep chained CASE WHEN (r6 verdict: 10^5 sources would blow
+    # the Catalyst expression tree).  Same IEEE-double → integer arithmetic
+    # as the former literals (floor / frac·2^32 truncation), computed once
+    # driver-side per source, so the emitted copy set is identical.
+    def _full_thr(e: float) -> tuple[int, int]:
+        fl = math.floor(float(e))
+        return int(fl), int((float(e) - fl) * float(1 << 32))
+
     h = _hash_u32(id_col, salt + "mix")
-    n_copies = n_full + (h < frac_thr).cast("long")
-    return (df.where(F.col(id_col).isNotNull())
+    d_full, d_thr = _full_thr(default_epochs)
+    spark = df.sparkSession
+    if epochs:
+        factors = spark.createDataFrame(
+            [(str(name), *_full_thr(e)) for name, e in sorted(epochs.items())],
+            "_mx_src string, _mx_full long, _mx_thr long")
+        joined = df.join(
+            F.broadcast(factors),
+            F.col(source_col).cast("string") == F.col("_mx_src"), "left")
+    else:
+        joined = (df.withColumn("_mx_src", F.lit(None).cast("string"))
+                  .withColumn("_mx_full", F.lit(None).cast("long"))
+                  .withColumn("_mx_thr", F.lit(None).cast("long")))
+    n_copies = (F.coalesce(F.col("_mx_full"), F.lit(d_full)).cast("long")
+                + (h < F.coalesce(F.col("_mx_thr"), F.lit(d_thr))).cast("long"))
+    return (joined.where(F.col(id_col).isNotNull())
             .withColumn("copy", F.explode(
                 F.when(n_copies >= 1,
                        F.sequence(F.lit(1).cast("long"), n_copies))
-                .otherwise(F.array().cast("array<long>")))))
+                .otherwise(F.array().cast("array<long>"))))
+            .drop("_mx_src", "_mx_full", "_mx_thr"))
 
 
 def temperature_mixture(df: DataFrame, id_col: str, source_col: str,
@@ -411,20 +429,27 @@ def temperature_mixture(df: DataFrame, id_col: str, source_col: str,
                             / (S * counts[s]) + 0.5))
           for s in counts}
     h = _hash_u32(id_col, salt + "tmix")
-    full_col = F.lit(0).cast("long")
-    thr_col = F.lit(0).cast("long")
-    for s in sorted(counts):
-        full_col = F.when(F.col(source_col) == s,
-                          F.lit(e6[s] // 1000000).cast("long")
-                          ).otherwise(full_col)
-        thr_col = F.when(F.col(source_col) == s,
-                         F.lit((e6[s] % 1000000) * 4294967296
-                               // 1000000).cast("long")).otherwise(thr_col)
-    n_copies = full_col + (h < thr_col).cast("long")
-    return base.withColumn("copy", F.explode(
+    # factors ride a broadcast-joined (source, full, thr) table instead of
+    # an O(G)-deep chained CASE WHEN (r6 verdict #3: a 10^5-source corpus
+    # would blow the Catalyst expression tree; the join keeps the plan flat
+    # at any G).  The integer arithmetic per source is unchanged, so the
+    # emitted copy multiset — and the oracle's recomputation — is identical.
+    # NULL / unseen sources fall to the 0-copy default via the left join.
+    spark = df.sparkSession
+    factors = spark.createDataFrame(
+        [(str(s), e6[s] // 1000000, (e6[s] % 1000000) * 4294967296 // 1000000)
+         for s in sorted(counts)],
+        "_tm_src string, _tm_full long, _tm_thr long")
+    joined = base.join(
+        F.broadcast(factors),
+        F.col(source_col).cast("string") == F.col("_tm_src"), "left")
+    n_copies = (F.coalesce(F.col("_tm_full"), F.lit(0)).cast("long")
+                + (h < F.coalesce(F.col("_tm_thr"), F.lit(0))).cast("long"))
+    return (joined.withColumn("copy", F.explode(
         F.when(n_copies >= 1,
                F.sequence(F.lit(1).cast("long"), n_copies))
         .otherwise(F.array().cast("array<long>"))))
+        .drop("_tm_src", "_tm_full", "_tm_thr"))
 
 
 def trim_by_group_rank(df: DataFrame, col: str, group_col: str,

@@ -44,11 +44,21 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("error: --json requires a path argument", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
-    # fixture-backed oracles must read the SAME scale the queries run at
+    # fixture-backed oracles must read the SAME scale the queries run at;
+    # they resolve the name under /root/testdata, so a custom sf_dir outside
+    # that root would silently point them at the wrong data (ADVICE r6)
+    if os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))) != "/root/testdata":
+        print(f"error: sf_dir must live under /root/testdata "
+              f"(fixture-backed oracles resolve scale names there), "
+              f"got {sf_dir}", file=sys.stderr)
+        return 2
     os.environ["SPARK_GRAFT_ORACLE_SF"] = os.path.basename(
         sf_dir.rstrip("/"))
     import __spark_entry__ as entrymod
@@ -78,9 +88,12 @@ def main() -> int:
             continue
         took = time.time() - t0
         if name not in oracles:
-            print(f"weak  {name}: rows={len(sdf)} ({took:.1f}s, no oracle)")
-            record[name] = {"ok": True, "rows": len(sdf), "sec": round(took, 2),
-                            "weak": "no oracle"}
+            # LOUD (r6 verdict #5): a silently-degraded rows-only check is a
+            # gate failure — fixture-fallback oracles must not vanish quietly
+            print(f"FAIL  {name}: rows={len(sdf)} ({took:.1f}s) — NO ORACLE")
+            record[name] = {"ok": False, "rows": len(sdf), "sec": round(took, 2),
+                            "err": "no oracle registered"}
+            failures += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -113,6 +126,7 @@ def main() -> int:
         ok = sum(1 for r in record.values() if r["ok"])
         with open(json_path, "w") as f:
             _json.dump({"sf_dir": sf_dir, "n_queries": len(record),
+                        "n_oracles": sum(1 for n in record if n in oracles),
                         "n_ok": ok, "all_ok": failures == 0,
                         "total_spark_sec": round(sum(
                             r.get("sec", 0) for r in record.values()), 1),
