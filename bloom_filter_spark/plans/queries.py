@@ -1220,8 +1220,96 @@ _ALL_QUERIES = {**SKETCH_QUERIES, **PIPELINE_QUERIES}
 #   under (a); any (c) overflow demotion requires a covering head sibling,
 #   annotated inline.
 _HEAD = [
-    # (a) never driver-verified (registered late in r5 past the window):
-    # the 14 late TPC-H rows + the drift KS + the two DDSketch rows
+    # r7 rotation (VERDICT r6 #1): the 17 rows whose last driver row is r4
+    # (3 rounds old at r7's end — the ⌈115/50⌉ bound's hard edge) take the
+    # head, then the oldest r5 rows fill to 50, ordered so the ones whose
+    # code paths the r7 optimization touched (native-scan builds, dedup'd
+    # probes, mixture factor join, contamination one-pass) come first under
+    # rule (c).  r6-green rows whose code changed in r7 are covered by the
+    # committed full-registry gates at sf0.01 AND sf0.1 (BENCH/gate_*_r7).
+    # (a) last driver row r4:
+    "top_customer_per_nation",
+    "events_sessionize",
+    "event_type_stats",
+    "lineitem_shipdate_rollup",
+    "text_boilerplate_ngrams",
+    "docs_hash_split",
+    "docs_stratified_sample",
+    "docs_pack_offsets",
+    "text_repetition_score",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "embedding_cosine_neardup",
+    "embedding_lsh_topk",
+    "embedding_lsh_topk_fullprobe",
+    "embedding_lsh_neardup",
+    "embedding_ivf_topk",
+    "embedding_ivf_topk_fullprobe",
+    # (a)+(c) last driver row r5, r7-touched code paths first: bloom/
+    # blocked-bloom builds and probes ride the native scan + compact-dedup
+    # kernels, docs_mixture_sample rides the factor join, curation_pipeline
+    # composes contamination/dedup/sampling, bloom_checkpoint_resume
+    # checkpoints native partials
+    "bloom_membership_fpr",
+    "bloom_token_intersection",
+    "cms_no_underestimate",
+    "bloom_doc_membership",
+    "blocked_bloom_membership",
+    "cuckoo_doc_membership",
+    "docs_mixture_sample",
+    "curation_pipeline",
+    "bloom_checkpoint_resume",
+    "streaming_cbloom_retractions",
+    "embedding_quantize_int8",
+    "embedding_quantized_topk",
+    # (a) last driver row r5, code untouched in r7 — strict age order
+    "kmv_distinct_tokens",
+    "kll_ntok_quantiles",
+    "tdigest_ntok_quantiles",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "text_langid",
+    "text_token_count_bpe",
+    "mg_heavy_hitters",
+    "reservoir_sample",
+    "text_repeated_spans",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
+    "text_tfidf_top_terms",
+    "streaming_exact_dedup",
+    "kmv_source_overlap_matrix",
+    "dedup_apply_keep_policy",
+    "docs_jsonl_source",
+    "token_drift_psi",
+    "kll_grouped_quantiles_per_source",
+    "weighted_sample_docs",
+]
+_TAIL = [
+    # r5-green rows that did not fit the 50-slot head (still ≤ 2 rounds
+    # stale at r7's end, within the ⌈115/50⌉ = 3-round bound) — FIRST in
+    # line for any r8 head under rule (a).  All are relational/stub shapes
+    # untouched by the r7 optimization: the five TPC-H rows share the
+    # driver-verified-in-r6 TPC-H kernels, the events/lineitem rollups are
+    # stock relational shapes, the multimodal rows are declared stubs.
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "streaming_windowed_counts",
+    "events_asof_attribution_sliced",
+    "events_funnel_conversion",
+    "docs_epoch_shuffle",
+    "docs_trim_by_group_rank",
+    "lineitem_rollup",
+    "user_running_spend",
+    "event_type_pivot",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q17",
+    # r6-green rows (freshest — verified by the driver last round); the
+    # ones whose code the r7 optimization touched are re-verified by the
+    # committed sf0.01 + sf0.1 full-registry gates at the r7 head
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",
@@ -1239,18 +1327,10 @@ _HEAD = [
     "token_drift_ks",
     "streaming_windowed_value_quantiles",
     "ddsketch_ntok_quantiles",
-    # (a) r3-stale — the single oldest row in the registry (VERDICT r5 #2)
     "kll_token_value_quantiles",
-    # (c) code/oracle changed in r6: PII counts moved to the progressively
-    # redacted text (VALUE-changing where categories overlap — the r5 row
-    # verified the old semantics), and CountSketch gained strict blob
-    # validation + int64-exact weighted accumulation on its probe path
     "docs_pii_scan",
     "countsketch_point_f2",
-    # (b) new in r6: temperature-based source rebalancing
     "docs_temperature_mixture",
-    # (a) r4-green rows, two rounds old — 29 of 46 fit; the remaining 17
-    # are first in line for r7 (annotated at the top of the tail)
     "blocked_bloom_xxh3_doc_membership",
     "hll_distinct_per_source",
     "bloom_prefilter_join",
@@ -1280,90 +1360,6 @@ _HEAD = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-]
-_TAIL = [
-    # r4-green, displaced from the head by the new docs_temperature_mixture
-    # row — stock relational shape covered by the 17 head TPC-H rows;
-    # first in line for r7 with the 16 below
-    "top_customer_per_nation",
-    # r4-green rows that did NOT fit the 50-slot head this round (r6 code
-    # untouched) — FIRST in line for the r7 head under rule (a).  Covering
-    # head siblings for the interim: the embedding_* family shares the
-    # brute-force/LSH/IVF kernels with embedding_quantized_topk (r5-green)
-    # and the four head r4 embedding-adjacent rows are absent because the
-    # similarity code is r5/r6-untouched; events_sessionize /
-    # event_type_stats / lineitem_shipdate_rollup are stock relational
-    # shapes covered by the 17 head TPC-H rows; docs_hash_split /
-    # docs_stratified_sample / docs_pack_offsets share sampling.py kernels
-    # with weighted_sample_per_source (head); text_boilerplate_ngrams /
-    # text_repetition_score / dedup_simhash share textstats/dedup kernels
-    # with dedup_minhash_lsh + dedup_ngram_jaccard (head).
-    "events_sessionize",
-    "event_type_stats",
-    "lineitem_shipdate_rollup",
-    "text_boilerplate_ngrams",
-    "docs_hash_split",
-    "docs_stratified_sample",
-    "docs_pack_offsets",
-    "text_repetition_score",
-    "dedup_simhash",
-    "embedding_cosine_topk",
-    "embedding_cosine_neardup",
-    "embedding_lsh_topk",
-    "embedding_lsh_topk_fullprobe",
-    "embedding_lsh_neardup",
-    "embedding_ivf_topk",
-    "embedding_ivf_topk_fullprobe",
-    # r5-green rows, r6 code untouched — they absorb the >50 truncation
-    # and rotate back under rule (a) in r7/r8 (3-round bound)
-    "bloom_membership_fpr",
-    "bloom_token_intersection",
-    "kmv_distinct_tokens",
-    "cms_no_underestimate",
-    "kll_ntok_quantiles",
-    "tdigest_ntok_quantiles",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
-    "text_langid",
-    "text_token_count_bpe",
-    "bloom_doc_membership",
-    "blocked_bloom_membership",
-    "cuckoo_doc_membership",
-    "mg_heavy_hitters",
-    "reservoir_sample",
-    "multimodal_meta",
-    "curation_pipeline",
-    "streaming_windowed_counts",
-    "events_asof_attribution_sliced",
-    "text_repeated_spans",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "docs_epoch_shuffle",
-    "docs_mixture_sample",
-    "text_tfidf_top_terms",
-    "streaming_exact_dedup",
-    "kmv_source_overlap_matrix",
-    "tpch_q4",
-    "tpch_q5",
-    "docs_trim_by_group_rank",
-    "events_funnel_conversion",
-    "dedup_apply_keep_policy",
-    "lineitem_rollup",
-    "user_running_spend",
-    "event_type_pivot",
-    "multimodal_frame_sample",
-    "embedding_quantize_int8",
-    "tpch_q17",
-    "docs_jsonl_source",
-    "token_drift_psi",
-    "tpch_q10",
-    "tpch_q14",
-    "embedding_quantized_topk",
-    "streaming_cbloom_retractions",
-    "bloom_checkpoint_resume",
-    "kll_grouped_quantiles_per_source",
-    "weighted_sample_docs",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in _HEAD}
