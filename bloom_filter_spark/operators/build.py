@@ -225,11 +225,12 @@ def _parquet_splits(spark, files: list[str], need_cols: list[str],
     sc = spark.sparkContext
     task_cpus = int(sc.getConf().get("spark.task.cpus", "1") or "1")
     slots = max(1, sc.defaultParallelism // task_cpus)
-    n_splits = min(len(units), 4 * slots)
-    if state_bytes is not None and n_splits * state_bytes > AUTO_TREE_THRESHOLD_BYTES:
-        # wide states: same monotone rule as _bound_state_volume — one
-        # partial per task slot, never fewer (scan parallelism is sacred)
-        n_splits = min(len(units), slots)
+    # 4× slots balances stragglers when partials are near-free to ship;
+    # past ~256 KB per state the merge collect pays state-volume, not scan
+    # balance, so wide states emit exactly one partial per slot (never
+    # fewer — scan parallelism is sacred, same rule as _bound_state_volume)
+    n_splits = min(len(units),
+                   slots if (state_bytes or 0) > (1 << 18) else 4 * slots)
     splits: list[dict] = [dict() for _ in range(n_splits)]
     for i, (f, rg) in enumerate(units):
         splits[i % n_splits].setdefault(f, []).append(rg)
