@@ -123,11 +123,12 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame,
         # separate n_grams scan both collapse into one JVM-only
         # join+aggregate (guide §4.1: prefer built-ins when they exist; the
         # Bloom prefilter earns its keep only on the giant-eval route below,
-        # where it guards a SHUFFLE join, not a broadcast probe).
-        grams = [r.shingle for r in ev_sh.collect()]
-        ev_sh.unpersist()
-        ev = spark.createDataFrame([(g,) for g in grams], "shingle string")
-        flags = tr.join(F.broadcast(ev).withColumn("_m", F.lit(1)),
+        # where it guards a SHUFFLE join, not a broadcast probe).  The
+        # broadcast consumes the gram DataFrame directly — no driver
+        # collect + re-createDataFrame round-trip of every gram (that
+        # Python→JVM echo alone cost seconds at a 1.5M-gram eval set).
+        ev_sh.unpersist()  # bounded storage; the tiny eval side recomputes
+        flags = tr.join(F.broadcast(ev_sh.withColumn("_m", F.lit(1))),
                         "shingle", "left")
         return (flags.groupBy("doc_id")
                 .agg(F.count("*").alias("n_grams"),
