@@ -212,20 +212,17 @@ def membership_scan(df, col: str, spark: SparkSession, blob: bytes, kind: str,
 
             def native_scan(batches):
                 import pyarrow as pa
-                import pyarrow.parquet as pq
+                from .build import _iter_rg_tables
                 sk, state = _get(bc, key)
                 n = hits = 0
                 for b in batches:
                     for sid in b.column(0).to_pylist():
-                        for path, rgs in splits_bc.value[sid].items():
-                            pf = pq.ParquetFile(path)
-                            for rg in rgs:
-                                arr = pf.read_row_group(
-                                    rg, columns=[phys_col]).column(0) \
-                                    .combine_chunks()
-                                dn, dh = _probe_arrow_column(sk, state, arr)
-                                n += dn
-                                hits += dh
+                        for t in _iter_rg_tables(splits_bc.value[sid],
+                                                 [phys_col]):
+                            arr = t.column(0).combine_chunks()
+                            dn, dh = _probe_arrow_column(sk, state, arr)
+                            n += dn
+                            hits += dh
                 yield pa.RecordBatch.from_pydict({
                     "n_probed": pa.array([n], pa.int64()),
                     "n_member": pa.array([hits], pa.int64()),
