@@ -386,17 +386,20 @@ def temperature_mixture(df: DataFrame, id_col: str, source_col: str,
 
     Scale shape: ONE G-row groupBy count (G = bounded source domain — the
     same driver-side composition rule as the KMV overlap matrix), then a
-    join- and shuffle-free row-local explode; the corpus is scanned once.
+    broadcast-joined factor lookup + row-local explode.  One corpus scan
+    per stage, two end-to-end: the eager count here, then the output's own
+    scan when the caller runs it.
 
     Cross-engine determinism: factors are quantized ONCE to integer
     micro-epochs e6 = ⌊1e6·T·n^α / (S·n) + 0.5⌋; full copies (e6 div 1e6)
     and the u32 hash threshold ((e6 mod 1e6)·2^32 div 1e6) are then pure
-    integer arithmetic embedded as per-source literals, so the emitted
-    copy set is exactly reproducible by any engine that reaches the same
-    e6 (the oracle recomputes it with the identical expression tree; Σ is
-    an ascending-source sequential fold on both sides; n^0.5 = IEEE sqrt
-    is exactly reproducible — non-half-integer α inherits libm pow and is
-    documented as engine-dependent in the last ulp).
+    integer arithmetic carried on a tiny broadcast (source, full, thr)
+    table, so the emitted copy set is exactly reproducible by any engine
+    that reaches the same e6 (the oracle recomputes it with the identical
+    expression tree; Σ is an ascending-source sequential fold on both
+    sides; n^0.5 = IEEE sqrt is exactly reproducible — non-half-integer α
+    inherits libm pow and is documented as engine-dependent in the last
+    ulp).
 
     → input columns + ``copy`` (1-based).  NULL ids are dropped (no
     stable hash — same rule as mixture_sample)."""
